@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.chunk.{Chunkers, Chunker}
+import graft.corpus.CorpusSynth
+import graft.extract.{Extractor, RuleExtractor}
+import graft.model._
+import graft.operators.{GraphAssembly, Lift}
+import graft.resolve.Resolution
+
+/** The KG-construction pipeline driver — reference `graphrag.run()`
+  * (`ecc/app/graphrag/graph_rag.py:478-609`) re-expressed as sequenced Spark
+  * jobs over checkpointed tables:
+  *
+  *   pages → docs → chunks → extracted → {entities, entity_types, mentions,
+  *   triples} → embeddings → candidate pairs → resolves_to →
+  *   resolved_triples → type_relationships
+  *
+  * The reference's asyncio channels collapse into partition parallelism; its
+  * polling barriers (`vertices_have_embedding`, `entities_have_resolution`)
+  * collapse into job ordering. Every stage writes its table + a lineage row;
+  * `resume = true` skips stages whose table committed under the same input
+  * fingerprint — the Spark analogue of the ECC's epoch-lifecycle re-scan
+  * (SURVEY.md §1.4, §2.2).
+  */
+object Pipeline {
+
+  final case class Config(
+      corpus: CorpusSynth.Config = CorpusSynth.Config(),
+      chunkerType: String = "regex", // reference default pattern \r?\n (ecc_util.py:25-28)
+      characterChunkSize: Int = 1024,
+      characterOverlap: Int = 0,
+      er: Resolution.Params = Resolution.Params(),
+      outDir: String = "/tmp/graft-pipeline",
+      runId: String = "run-0",
+      resume: Boolean = false,
+      /** write partitions for the big tables; tune to cluster size. */
+      shufflePartitions: Option[Int] = None) {
+    def fingerprintBase: String =
+      s"$corpus|$chunkerType|$characterChunkSize|$characterOverlap|$er"
+  }
+
+  final case class Result(catalog: Catalog, stages: Seq[StageResult]) {
+    def resolvedTriples: Dataset[ResolvedTriple] = {
+      val spark = catalog.spark
+      import spark.implicits._
+      catalog.read("resolved_triples").as[ResolvedTriple]
+    }
+  }
+
+  private def sha(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .take(12).map("%02x".format(_)).mkString
+
+  def chunkerFor(cfg: Config): Chunker =
+    Chunkers.forType(cfg.chunkerType, cfg.characterChunkSize, cfg.characterOverlap)
+
+  def run(spark: SparkSession, cfg: Config, extractor: Extractor = new RuleExtractor): Result = {
+    import spark.implicits._
+    val cat = new Catalog(cfg.outDir, spark)
+    val results = Vector.newBuilder[StageResult]
+    var upstream = sha(cfg.fingerprintBase)
+
+    def stage(name: String)(build: Catalog => Long): Unit = {
+      upstream = sha(s"$upstream/$name")
+      results += Catalog.stage(cat, cfg.runId, name, upstream, cfg.resume)(build(cat))
+    }
+
+    stage("pages") { c =>
+      val pages = CorpusSynth.pages(spark, cfg.corpus)
+      c.write("pages", pages.toDF(), cfg.shufflePartitions)
+      c.read("pages").count()
+    }
+
+    stage("chunks") { c =>
+      val pages = c.read("pages").as[Page]
+      val chunks = GraphAssembly.chunks(GraphAssembly.docs(pages), chunkerFor(cfg))
+      c.write("chunks", chunks.toDF())
+      c.read("chunks").count()
+    }
+
+    stage("extracted") { c =>
+      val chunks = c.read("chunks").as[Chunk]
+      val extracted = GraphAssembly.extractAll(chunks, extractor)
+      c.write("extracted", extracted.toDF())
+      // lineage counts DROPS, not just rows: parse failures are empty docs
+      c.read("extracted")
+        .where(org.apache.spark.sql.functions.expr("size(nodes) > 0 or size(rels) > 0"))
+        .count()
+    }
+
+    stage("entities") { c =>
+      val extracted = c.read("extracted").as[ExtractedGraphDoc]
+      c.write("entities", GraphAssembly.entities(extracted).toDF())
+      c.read("entities").count()
+    }
+
+    stage("entity_types") { c =>
+      val extracted = c.read("extracted").as[ExtractedGraphDoc]
+      c.write("entity_types", GraphAssembly.entityTypes(extracted))
+      c.read("entity_types").count()
+    }
+
+    stage("mentions") { c =>
+      val extracted = c.read("extracted").as[ExtractedGraphDoc]
+      c.write("mentions", GraphAssembly.mentions(extracted).toDF())
+      c.read("mentions").count()
+    }
+
+    stage("triples") { c =>
+      val extracted = c.read("extracted").as[ExtractedGraphDoc]
+      c.write("triples", GraphAssembly.triples(extracted).toDF(), cfg.shufflePartitions)
+      c.read("triples").count()
+    }
+
+    stage("embeddings") { c =>
+      val entities = c.read("entities").as[Entity]
+      c.write("embeddings", Resolution.embedEntities(entities, cfg.er))
+      c.read("embeddings").count()
+    }
+
+    stage("candidate_pairs") { c =>
+      val emb = c.read("embeddings")
+      c.write("candidate_pairs", Resolution.candidatePairs(emb, cfg.er))
+      c.read("candidate_pairs").count()
+    }
+
+    stage("resolves_to") { c =>
+      val entities = c.read("entities").as[Entity]
+      val pairs = c.read("candidate_pairs")
+      c.write("resolves_to", Resolution.resolvesTo(entities, pairs).toDF())
+      c.read("resolves_to").count()
+    }
+
+    stage("resolved_triples") { c =>
+      val triples = c.read("triples").as[Triple]
+      val res = c.read("resolves_to").as[ResolvesTo]
+      c.write("resolved_triples", Lift.resolvedTriples(triples, res).toDF(), cfg.shufflePartitions)
+      c.read("resolved_triples").count()
+    }
+
+    stage("type_relationships") { c =>
+      val triples = c.read("triples").as[Triple]
+      val types = c.read("entity_types")
+      c.write("type_relationships", Lift.typeRelationships(triples, types).toDF())
+      c.read("type_relationships").count()
+    }
+
+    Result(cat, results.result())
+  }
+}

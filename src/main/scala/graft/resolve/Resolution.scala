@@ -1,0 +1,194 @@
+package graft.resolve
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.extract.{HashEmbedder, VectorOps}
+import graft.model.{Entity, ResolvesTo}
+
+/** Entity resolution — SURVEY.md §2.7 (R1-R4).
+  *
+  * Reference semantics re-expressed for a cluster:
+  *   - candidate neighbors per entity: all entities at cosine ≥ 0.90, top-10
+  *     including self (`tigergraph_embedding_store.py:375-396`,
+  *     `common/gsql/vector/get_topk_closest.gsql:9-12`);
+  *   - each entity merges its candidates under the LONGEST candidate id
+  *     (`ecc/app/graphrag/workers.py:460-468`); TigerGraph edge-upsert union
+  *     across workers makes the merge effectively transitive, so the faithful
+  *     scale-out is connected components over the candidate edges with one
+  *     canonical per component, tie-broken deterministically by
+  *     (id length, id) — SURVEY.md §7.4 documents the divergence for
+  *     components larger than k=10.
+  *
+  * Scale design: sign-random-projection LSH banding (bands × bits) prunes the
+  * O(E²) similarity self-join to same-bucket pairs, then the exact cosine
+  * filter runs only on candidates; buckets above `maxBucket` are dropped
+  * (degenerate near-duplicate floods — documented, counted via lineage).
+  * Connected components is an iterative min-label DataFrame loop with
+  * localCheckpoint truncation per iteration (alias clusters have tiny
+  * diameter, so it converges in a handful of rounds).
+  */
+object Resolution {
+
+  final case class Params(
+      dim: Int = 1536,
+      cosineThreshold: Double = 0.90,
+      topK: Int = 10,
+      bands: Int = 20,
+      bits: Int = 12,
+      maxBucket: Int = 1024,
+      seed: Int = 42,
+      bruteForce: Boolean = false)
+
+  /** Entity embeddings. Deterministic input: the first (sorted) non-empty
+    * description, else the entity id — the reference embeds desc[0] or the id
+    * when blank (`workers.py:255-262,352-358`); its vector store keeps one
+    * vector per entity with last-write-wins, which we make deterministic by
+    * the sort. One narrow mapPartitions; embedder built once per partition.
+    */
+  def embedEntities(entities: Dataset[Entity], p: Params): DataFrame = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    entities.mapPartitions { it =>
+      val emb = new HashEmbedder(p.dim, p.seed)
+      it.map { e =>
+        val input = e.descriptions.filter(_.nonEmpty).sorted.headOption.getOrElse(e.entity_id)
+        (e.entity_id, emb.embed(input))
+      }
+    }.toDF("entity_id", "embedding")
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes for sign-RP LSH. */
+  private def hyperplanes(p: Params): Array[Array[Float]] = {
+    val rng = new Random(p.seed * 31L + 7)
+    Array.fill(p.bands * p.bits)(Array.fill(p.dim)(rng.nextGaussian().toFloat))
+  }
+
+  /** Candidate pairs (src, dst, cos) with cos ≥ threshold − 1e-6 (the
+    * reference's epsilon, `get_topk_closest.gsql:9`), ranked top-(k−1)
+    * non-self neighbors per src. Both directions are emitted (the reference
+    * resolves per-entity); CC treats them as undirected.
+    */
+  def candidatePairs(embeddings: DataFrame, p: Params): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val pairs: DataFrame =
+      if (p.bruteForce) {
+        val a = embeddings.select($"entity_id".as("src"), $"embedding".as("emb_a"))
+        val b = embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b"))
+        a.crossJoin(b).where($"src" < $"dst")
+      } else {
+        val planes = spark.sparkContext.broadcast(hyperplanes(p))
+        val bands = p.bands
+        val bits = p.bits
+        val sigs = embeddings
+          .as[(String, Array[Float])]
+          .mapPartitions { it =>
+            val h = planes.value
+            it.flatMap { case (id, v) =>
+              (0 until bands).iterator.map { b =>
+                var sig = 0
+                var j = 0
+                while (j < bits) {
+                  if (VectorOps.dot(h(b * bits + j), v) >= 0) sig |= (1 << j)
+                  j += 1
+                }
+                (id, b, sig)
+              }
+            }
+          }
+          .toDF("entity_id", "band", "sig")
+
+        // drop degenerate buckets (near-duplicate floods) before the self-join
+        val bucketed = sigs
+          .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy($"band", $"sig")))
+          .where($"bucket_n" <= p.maxBucket)
+          .drop("bucket_n")
+
+        val l = bucketed.select($"band", $"sig", $"entity_id".as("src"))
+        val r = bucketed.select($"band", $"sig", $"entity_id".as("dst"))
+        val cand = l.join(r, Seq("band", "sig")).where($"src" < $"dst")
+          .select("src", "dst").dropDuplicates("src", "dst")
+        cand
+          .join(embeddings.select($"entity_id".as("src"), $"embedding".as("emb_a")), "src")
+          .join(embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b")), "dst")
+      }
+
+    val cosUdf = udf((a: Array[Float], b: Array[Float]) => VectorOps.cosine(a, b))
+    val scored = pairs
+      .withColumn("cos", cosUdf($"emb_a", $"emb_b"))
+      .where($"cos" >= lit(p.cosineThreshold - 1e-6))
+      .select($"src", $"dst", $"cos")
+
+    // both directions, then top-(k-1) per src: self always occupies one slot
+    val sym = scored.unionByName(
+      scored.select($"dst".as("src"), $"src".as("dst"), $"cos"))
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+    sym.withColumn("rank", row_number().over(w))
+      .where($"rank" <= p.topK - 1)
+      .drop("rank")
+  }
+
+  /** Connected components via min-label propagation with per-iteration
+    * localCheckpoint (lineage truncation, SURVEY.md §4.2). Input: directed
+    * pair rows (src, dst); treated as undirected. Output: (entity_id,
+    * component_id = min entity_id in component).
+    */
+  def connectedComponents(allIds: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = allIds.sparkSession
+    import spark.implicits._
+
+    val edges = pairs.select($"src", $"dst")
+      .unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+
+    var labels = allIds.select($"entity_id", $"entity_id".as("component_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, min neighbor label)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("entity_id", "dst"), "dst")
+        .groupBy($"src".as("entity_id"))
+        .agg(min($"component_id").as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, Seq("entity_id"), "left")
+        .select(
+          $"entity_id",
+          least($"component_id", coalesce($"nbr_min", $"component_id")).as("component_id"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.as("l"), Seq("entity_id"))
+        .where($"u.component_id" =!= $"l.component_id")
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** RESOLVES_TO: canonical per component = max by (id length, id) —
+    * the reference's longest-id pick (`workers.py:460-468`) made
+    * deterministic. Entities with no ≥-threshold neighbor resolve to
+    * themselves (aget_k_closest always includes self).
+    */
+  def resolvesTo(entities: Dataset[Entity], pairs: DataFrame): Dataset[ResolvesTo] = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    val ids = entities.select($"entity_id")
+    val comps = connectedComponents(ids, pairs)
+    val canon = comps
+      .groupBy($"component_id")
+      .agg(max_by($"entity_id", struct(length($"entity_id"), $"entity_id")).as("canonical_id"))
+    comps.join(canon, "component_id")
+      .select($"entity_id", $"canonical_id")
+      .as[ResolvesTo]
+  }
+}
