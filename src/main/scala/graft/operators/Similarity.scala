@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the Spark
+  * realization of the reference's vector ops (`common/gsql/vector/
+  * get_topk_similar.gsql:14-20`, HNSW-configured store
+  * `common/py_schemas/schemas.py:112-117`).
+  *
+  * Baseline: brute-force cosine top-k (exact; one broadcast of the query set,
+  * narrow score, per-query top-k via window — Catalyst turns global
+  * orderBy().limit(k) into TakeOrderedAndProject). Scale path: IVF-style
+  * coarse quantization — deterministic pivots, one cluster id per vector,
+  * queries probe nProbe nearest clusters, so the scored fraction is
+  * ~nProbe/nPivots of the corpus. At 10^12 rows the cluster id becomes the
+  * table's partition column and probing prunes partitions at scan time.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns as a pure Column
+    * expression (codegen'd, no UDF): dot/(|a||b|) via zip_with + aggregate.
+    * Double accumulation in array order — deterministic.
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` and
+    * `corpus` both (id, embedding); queries are expected small → broadcast
+    * side of the join (explicit hint). Ties broken by neighbor id for
+    * determinism. Self-matches kept (the reference's get_topk_closest
+    * includes self; filter afterwards if undesired).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosineCol(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  final case class IvfParams(nPivots: Int = 32, nProbe: Int = 4, seed: Int = 42)
+
+  /** Deterministic pivots: the nPivots corpus vectors with the smallest ids.
+    * (K-means would be strictly better; id-sampling is deterministic, cheap,
+    * and adequate for hash-ish embedding distributions. Swap via `pivots`.)
+    */
+  def defaultPivots(corpus: DataFrame, p: IvfParams,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.orderBy(col(idCol)).limit(p.nPivots)
+      .select(col(idCol).cast("long").as("pivot_id"), col(embCol).as("pivot_emb"))
+
+  /** IVF-style approximate top-k: assign corpus vectors to their nearest
+    * pivot (broadcast pivot table, argmax over an array expression — one
+    * narrow pass); each query probes its nProbe nearest pivots and scores
+    * only those clusters. Returns the same shape as bruteForceTopK; recall
+    * is measured by the spec against the exact result.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, p: IvfParams = IvfParams(),
+      idCol: String = "vec_id", embCol: String = "embedding",
+      pivotsOverride: Option[DataFrame] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pivots = pivotsOverride.getOrElse(defaultPivots(corpus, p, idCol, embCol))
+
+    // cluster assignment: per corpus row, argmax cosine over broadcast pivots
+    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"))
+      .crossJoin(broadcast(pivots))
+      .withColumn("pcos", cosineCol($"c_emb", $"pivot_emb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"neighbor_id").orderBy($"pcos".desc, $"pivot_id")))
+      .where($"rn" === 1)
+      .select($"neighbor_id", $"c_emb", $"pivot_id".as("cluster"))
+
+    // query → its nProbe nearest clusters
+    val probes = queries.select(col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(pivots))
+      .withColumn("pcos", cosineCol($"q_emb", $"pivot_emb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"pcos".desc, $"pivot_id")))
+      .where($"rn" <= p.nProbe)
+      .select($"query_id", $"q_emb", $"pivot_id".as("cluster"))
+
+    val scored = assigned.join(probes, "cluster")
+      .withColumn("cos", cosineCol($"q_emb", $"c_emb"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
+      .where($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
+        round($"cos", 6).as("cos"))
+  }
+}

