@@ -1,24 +1,92 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusSynth
+
+/** Per-round benchmark — one JSON line on stdout.
+  *
+  * Two measurements (BASELINE.md method):
+  *   1. KG-construction throughput (triples/sec): the full in-memory stage
+  *      graph (synth → chunk → extract → assemble → resolve → lift) on the
+  *      sf-scaled corpus, run at TWO parallelism levels — local[N/4] then
+  *      local[N] with shuffle partitions scaled and AQE on — the sandbox
+  *      proxy for the north rule's N vs 4N executors. Scaling efficiency =
+  *      (T_low / T_high) / (cores_high / cores_low), target ≥ 0.8.
+  *   2. Headline query timings over the driver's sf tables at local[N]
+  *      (count() forces full execution; inputs are parquet scans).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Full KG construction; returns (resolvedTripleCount, wallSec). */
+  private def runKg(cores: Int, cfg: CorpusSynth.Config): (Long, Double) = {
+    val spark = session(cores)
+    val t0 = System.nanoTime()
+    val n = SparkEntry.KgStages(spark, cfg).resolvedTriples.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (n, wall)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val coresHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val coresLow = math.max(1, coresHigh / 4)
+    val pages =
+      if (sfDir.contains("0.001")) 500
+      else if (sfDir.contains("0.01")) 2000
+      else 12000
+    val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
+
+    // warm JIT/classloading so the low-parallelism run isn't penalized
+    runKg(coresLow, cfg.copy(nPages = 200))
+
+    val (nLow, wallLow) = runKg(coresLow, cfg)
+    val (nHigh, wallHigh) = runKg(coresHigh, cfg)
+    val thrLow = nLow / wallLow
+    val thrHigh = nHigh / wallHigh
+    val eff = (thrHigh / thrLow) / (coresHigh.toDouble / coresLow)
+
+    // headline queries at full parallelism
+    val spark = session(coresHigh)
+    val headline = Seq(
+      "q_agg_pricing", "q_multi_join_revenue", "q_window_rank", "q_set_ops",
+      "q_event_windows", "q_keyword_search", "q_token_count", "q_quality",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_ann_bruteforce", "q_ann_ivf", "q_embed_neardup", "q_chunk_character")
+    val qtimes = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val total = wallLow + wallHigh + qtimes.map(_._2).sum
+    def f(d: Double) = "%.3f".format(d)
+    val qs = qtimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val kg =
+      s""""kg":{"pages":$pages,"resolved_triples":$nHigh,""" +
+        s""""cores_low":$coresLow,"cores_high":$coresHigh,""" +
+        s""""wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},""" +
+        s""""triples_per_sec_low":${f(thrLow)},"triples_per_sec_high":${f(thrHigh)},""" +
+        s""""scaling_efficiency":${f(eff)}}"""
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$kg,"sf":"$sfDir"}""")
   }
 }

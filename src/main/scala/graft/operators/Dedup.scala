@@ -243,7 +243,7 @@ object Dedup {
     val a = embeddings.select(col(idCol).cast("long").as("a"), col(embCol).as("emb_a"))
     val b = embeddings.select(col(idCol).cast("long").as("b"), col(embCol).as("emb_b"))
     a.join(b, $"a" < $"b")
-      .withColumn("cos", Similarity.cosineCol($"emb_a", $"emb_b"))
+      .withColumn("cos", Similarity.cosineUdf($"emb_a", $"emb_b"))
       .where($"cos" >= threshold)
       .select($"a", $"b", round($"cos", 6).as("cos"))
   }
