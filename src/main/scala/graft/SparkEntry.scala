@@ -13,6 +13,7 @@ import graft.functions.Normalize
 import graft.model._
 import graft.operators.{Dedup, GraphAssembly, Lift, Similarity, TextStats}
 import graft.resolve.Resolution
+import graft.retrieval.Retrieval
 
 /** Driver contract — the queryable surface of the engine.
   *
@@ -69,6 +70,9 @@ object SparkEntry {
     lazy val triples: Dataset[Triple] = GraphAssembly.triples(extracted)
     lazy val resolvedTriples: Dataset[ResolvedTriple] =
       Lift.resolvedTriples(triples, resolvesTo)
+    lazy val louvain: graft.community.Louvain.Result =
+      graft.community.Louvain.run(resolvedTriples.toDF(),
+        allEntities = Some(resolvesTo.toDF().select(col("canonical_id")).distinct()))
   }
 
   private def kg(s: SparkSession, dir: String): KgStages = KgStages(s, kgConfig(dir))
@@ -255,6 +259,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // ---- multimodal plumbing (decode stubbed; rows-only) ----
+
+    "q_media_features" -> ((s, d) => {
+      import s.implicits._
+      val n = if (d.contains("0.1")) 3000 else 300
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.synth(s, n), dim = 64)
+        .map(f => (f.media_id, f.modality, f.n_bytes, f.features.sum.toDouble))
+        .toDF("media_id", "modality", "n_bytes", "feature_sum")
+    }),
+
+    "q_media_frames" -> ((s, d) => {
+      import s.implicits._
+      val n = if (d.contains("0.1")) 3000 else 300
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.synth(s, n), everyMs = 5000L)
+        .map(f => (f.media_id, f.frame_idx.toLong, f.frame_ts_ms, f.frame_bytes.length.toLong))
+        .toDF("media_id", "frame_idx", "frame_ts_ms", "n_frame_bytes")
+    }),
+
     // ---- KG construction stages (rows-only; golden-checked in specs) ----
 
     "kg_pages" -> ((s, d) => {
@@ -280,6 +304,88 @@ object SparkEntry {
     "kg_type_relationships" -> ((s, d) => {
       val st = kg(s, d)
       Lift.typeRelationships(st.triples, GraphAssembly.entityTypes(st.extracted)).toDF()
+    }),
+
+    // ---- retrieval operators (SURVEY.md §2.9) ----
+
+    "q_sibling_search" -> ((s, d) => {
+      import s.implicits._
+      val chunker = new CharacterChunker(100, 20)
+      val chunks = t(s, d, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          chunker.chunk(text).iterator.zipWithIndex.map { case (c, i) =>
+            (id.toString, i, s"${id}_chunk_$i", c)
+          }
+        }
+        .toDF("doc_id", "idx", "chunk_id", "text")
+      val seeds = (0 until 5).map(i => s"${i}_chunk_1")
+      Retrieval.siblingSearch(chunks, seeds, lookback = 1, lookahead = 2)
+        .select(col("seed_chunk_id"), col("chunk_id"), col("distance"), col("text"))
+    }),
+
+    "kg_keyword_search" -> ((s, d) =>
+      Retrieval.keywordSearch(kg(s, d).chunks.toDF(),
+        Seq("corporation", "works at", "moved to"), "ANY", topK = 25)),
+
+    "kg_sibling_search" -> ((s, d) => {
+      val chunks = kg(s, d).chunks.toDF().localCheckpoint(true)
+      val seeds = chunks.orderBy(col("chunk_id")).limit(5)
+        .select(col("chunk_id")).collect().map(_.getString(0)).toSeq
+      Retrieval.siblingSearch(chunks, seeds, 2, 2)
+    }),
+
+    "kg_hybrid_expand" -> ((s, d) => {
+      val st = kg(s, d)
+      val triples = st.resolvedTriples.toDF().localCheckpoint(true)
+      val seeds = triples.orderBy(col("subj")).limit(2)
+        .select(col("subj")).collect().map(_.getString(0)).toSeq.distinct
+      Retrieval.hybridExpand(triples, seeds, numHops = 2, numSeenMin = 1)
+    }),
+
+    "kg_entity_retrieval" -> ((s, d) => {
+      val st = kg(s, d)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      Retrieval.entityRelationshipRetrieval(
+        st.entities.toDF(), mentions, st.chunks.toDF(), "%corporation%", topK = 10)
+    }),
+
+    "kg_community_search" -> ((s, d) => {
+      val st = kg(s, d)
+      val louv = st.louvain
+      val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
+        .withColumn("description", lit(""))
+      val hasParent = if (louv.levels.size > 1)
+        louv.levels.tail.map(_.membership).reduce(_ unionByName _)
+          .toDF("community_id", "parent_id")
+      else comms.select(col("community_id"), col("community_id").as("parent_id")).limit(0)
+      val inComm = louv.levels.head.membership.toDF("canonical_id", "community_id")
+        .localCheckpoint(true)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      val seeds = inComm.groupBy(col("community_id")).count()
+        .orderBy(col("count").desc, col("community_id")).limit(2)
+        .select(col("community_id")).collect().map(_.getString(0)).toSeq
+      Retrieval.communitySearch(comms, hasParent, inComm,
+        st.resolvesTo.toDF().localCheckpoint(true), mentions, st.chunks.toDF(), seeds)
+    }),
+
+    "kg_communities" -> ((s, d) => {
+      val st = kg(s, d)
+      val louv = st.louvain
+      // localCheckpoint: entities feeds both resolvesTo and the description
+      // join — break the shared lineage or analysis sees conflicting refs
+      val descs = graft.community.Summarize.describeAll(
+        louv.levels, st.entities.toDF().localCheckpoint(true),
+        st.resolvesTo.toDF().localCheckpoint(true))
+      louv.levels.map(_.communities).reduce(_ unionByName _)
+        .join(descs, Seq("community_id", "iteration"), "left")
+    }),
+
+    "kg_modularity" -> ((s, d) => {
+      import s.implicits._
+      kg(s, d).louvain.modularities.zipWithIndex
+        .map { case (q, i) => ((i + 1).toLong, q) }
+        .toDF("iteration", "modularity")
     }),
 
     "kg_eval" -> ((s, d) => kgEval(s, kgConfig(d)))
@@ -485,6 +591,23 @@ object SparkEntry {
           AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45""",
+
+    "q_sibling_search" ->
+      """WITH chunks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, k AS idx,
+            CAST(doc_id AS VARCHAR) || '_chunk_' || CAST(k AS VARCHAR) AS chunk_id,
+            substr(text, k * 80 + 1, 100) AS text
+          FROM (SELECT doc_id, text, length(text) AS len FROM documents),
+               generate_series(0, 1000) t(k)
+          WHERE k * 80 < len AND (k = 0 OR k * 80 + 20 < len)),
+        seeds AS (
+          SELECT chunk_id AS seed_chunk_id, doc_id AS seed_doc, idx AS seed_idx
+          FROM chunks
+          WHERE idx = 1 AND doc_id IN ('0','1','2','3','4'))
+        SELECT seed_chunk_id, chunk_id,
+          CAST(idx - seed_idx AS BIGINT) AS distance, text
+        FROM chunks JOIN seeds
+          ON doc_id = seed_doc AND idx BETWEEN seed_idx - 1 AND seed_idx + 2""",
 
     "q_ann_bruteforce" ->
       """WITH scored AS (

@@ -1,0 +1,313 @@
+package graft.community
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Louvain community detection over the resolved-entity graph — the Spark
+  * realization of the reference's hierarchical community pass (SURVEY.md
+  * §2.8; `common/gsql/graphrag/louvain/graphrag_louvain_init.gsql:1-189`,
+  * `graphrag_louvain_communities.gsql:1-198`, `modularity.gsql:1-49`).
+  *
+  * Semantics mirrored from the GSQL:
+  *   - local moving, max `maxHop` rounds, synchronous: every candidate node
+  *     evaluates its best neighboring community per round;
+  *   - hop 1 ΔQ = `1 − k_s·k_t / (2m)` per neighbor (init :58); later hops
+  *     ΔQ_remove = `2·k_self − 2·k_in + k·(Σtot(C) − k)/m` (:94) and
+  *     ΔQ_add(C) = `2·w(s→C) − k·Σtot(C)/m` (:102);
+  *   - move when ΔQ_remove + ΔQ_add > 0; pairwise swaps cancelled for the
+  *     lower-gain side, ties by node id (:116-135 — the reference
+  *     tie-breaks on `getvid`, a load-order internal id; we use the
+  *     lexicographic node id, the deterministic equivalent);
+  *   - next round's candidates = neighbors of moved nodes that are not in
+  *     the mover's new community (:150-152);
+  *   - coarsening: community id = `<rep_vid>_<level>`, isolated nodes get
+  *     singleton communities (:171-176); LINKS_TO weight = inter-community
+  *     directed weight sum, halved at levels ≥ 2 exactly as the reference
+  *     does (init :181-185 inserts `w`, level-n :193-197 inserts `w/2`);
+  *     intra-community weight is dropped at coarsening (no self LINKS_TO is
+  *     ever inserted — the reference's `@@community_sum_in_map` is write-only),
+  *     so `k_self` is always 0 in practice; the formula keeps the term.
+  *
+  * Scale: each hop is 4 bounded shuffles (sum-total agg, two edge joins,
+  * best-move agg) over DataFrames `localCheckpoint`ed per hop to truncate
+  * lineage — the analogue of the reference's per-hop materialized
+  * accumulator state. The graph shrinks geometrically per level.
+  */
+object Louvain {
+
+  /** One coarsening level's outputs. */
+  final case class Level(
+      iteration: Int,
+      /** (child_id, community_id) — IN_COMMUNITY at level 1, HAS_PARENT above. */
+      membership: DataFrame,
+      /** (community_id, iteration) vertex table for this level. */
+      communities: DataFrame,
+      /** (src, dst, weight) directed LINKS_TO between this level's communities. */
+      linksTo: DataFrame)
+
+  /** Local-moving pass. `nodes`: (id, k, k_self); `edges`: (src, dst, w)
+    * DIRECTED with both directions present; `m` per the reference's
+    * accounting (init: directed edge count; levels: Σ directed w / 2).
+    * Returns (id, comm) where comm is the representative node id.
+    */
+  def localMoving(nodes: DataFrame, edges: DataFrame, m: Double, maxHop: Int = 10): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+
+    if (m <= 1e-11) return nodes.select($"id", $"id".as("comm"))
+
+    var labels = nodes.select($"id", $"id".as("comm"), $"k", $"k_self")
+      .localCheckpoint(true)
+    var candidates = nodes.select($"id").localCheckpoint(true)
+    var hop = 0
+
+    while (hop < maxHop && !candidates.isEmpty) {
+      hop += 1
+
+      // per-node edge view with both endpoints' state
+      val lSrc = labels.select($"id".as("src"), $"comm".as("s_comm"),
+        $"k".as("s_k"), $"k_self".as("s_self"))
+      val lDst = labels.select($"id".as("dst"), $"comm".as("t_comm"), $"k".as("t_k"))
+      val cand = candidates.select($"id".as("src"))
+      val e = edges.join(cand, "src").join(lSrc, "src").join(lDst, "dst")
+
+      val moves: DataFrame =
+        if (hop == 1) {
+          // dq per neighbor t: 1 - k_s * k_t / (2m); move if best dq > 0
+          e.where($"s_comm" =!= $"t_comm")
+            .withColumn("dq", lit(1.0) - $"s_k" * $"t_k" / (2 * m))
+            .groupBy($"src")
+            .agg(max(struct($"dq", $"t_comm")).as("best"),
+              first($"s_comm").as("old_comm"))
+            .select($"src".as("id"), $"old_comm",
+              $"best.t_comm".as("new_comm"), $"best.dq".as("gain"))
+            .where($"gain" > 0)
+        } else {
+          val sumTot = labels.groupBy($"comm").agg(sum($"k").as("sum_tot"))
+          val withTot = e
+            .join(sumTot.select($"comm".as("s_comm"), $"sum_tot".as("s_sumtot")), "s_comm")
+            .join(sumTot.select($"comm".as("t_comm"), $"sum_tot".as("t_sumtot")), "t_comm")
+
+          // k_in: weight into own community; w(s -> C) per foreign community
+          val kIn = withTot.where($"s_comm" === $"t_comm")
+            .groupBy($"src").agg(sum($"w").as("k_in"))
+          val toComm = withTot.where($"s_comm" =!= $"t_comm")
+            .groupBy($"src", $"t_comm")
+            .agg(sum($"w").as("w_to"),
+              first($"s_comm").as("s_comm"), first($"s_k").as("s_k"),
+              first($"s_self").as("s_self"), first($"s_sumtot").as("s_sumtot"),
+              first($"t_sumtot").as("t_sumtot"))
+
+          toComm
+            .join(kIn, Seq("src"), "left")
+            .na.fill(0.0, Seq("k_in"))
+            .withColumn("dq_remove",
+              lit(2) * $"s_self" - lit(2) * $"k_in" +
+                $"s_k" * ($"s_sumtot" - $"s_k") / m)
+            .withColumn("dq_add", lit(2) * $"w_to" - $"s_k" * $"t_sumtot" / m)
+            .groupBy($"src")
+            .agg(max(struct($"dq_add", $"t_comm")).as("best"),
+              first($"s_comm").as("old_comm"), first($"dq_remove").as("dq_remove"))
+            .select($"src".as("id"), $"old_comm", $"best.t_comm".as("new_comm"),
+              ($"dq_remove" + $"best.dq_add").as("gain"))
+            .where($"gain" > 0)
+        }
+
+      val moversRaw = moves.localCheckpoint(true)
+
+      // swap resolution (init :116-135): for adjacent (s, t) both moving into
+      // each other's communities, cancel the side with the smaller gain
+      // (ties: cancel the lexicographically larger id)
+      val ms = moversRaw.select($"id".as("src"), $"old_comm".as("s_old"),
+        $"new_comm".as("s_new"), $"gain".as("s_gain"))
+      val mt = moversRaw.select($"id".as("dst"), $"old_comm".as("t_old"),
+        $"new_comm".as("t_new"), $"gain".as("t_gain"))
+      val cancelled = edges.join(ms, "src").join(mt, "dst")
+        .where($"s_new" === $"t_old" && $"t_new" === $"s_old" &&
+          ($"s_gain" < $"t_gain" ||
+            (abs($"s_gain" - $"t_gain") < 1e-11 && $"src" > $"dst")))
+        .select($"src".as("id")).distinct()
+
+      val movers = moversRaw.join(cancelled, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+
+      if (movers.isEmpty) {
+        candidates = spark.emptyDataFrame.select(lit("").as("id")).limit(0)
+      } else {
+        labels = labels.as("l")
+          .join(movers.select($"id", $"new_comm").as("mv"), Seq("id"), "left")
+          .select($"id", coalesce($"new_comm", $"l.comm").as("comm"), $"k", $"k_self")
+          .localCheckpoint(true)
+
+        // next candidates: neighbors of movers outside the mover's new community
+        candidates = edges
+          .join(movers.select($"id".as("src"), $"new_comm"), "src")
+          .join(labels.select($"id".as("dst"), $"comm".as("t_comm")), "dst")
+          .where($"t_comm" =!= $"new_comm")
+          .select($"dst".as("id")).distinct()
+          .localCheckpoint(true)
+      }
+    }
+    labels.select($"id", $"comm")
+  }
+
+  /** Coarsen one level: labels (id, comm) + edges (src, dst, w) →
+    * communities/membership/LINKS_TO at `iteration` (1-based output level).
+    */
+  def coarsen(labels: DataFrame, edges: DataFrame, iteration: Int): Level = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val suffix = s"_$iteration"
+    val halve = iteration >= 2 // reference halves LINKS_TO weight at levels >= 2
+
+    val connected = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+    val lab = labels.join(connected, Seq("id"), "left_semi")
+    val isolated = labels.join(connected, Seq("id"), "left_anti")
+
+    val membership = lab.select($"id".as("child_id"),
+        concat($"comm", lit(suffix)).as("community_id"))
+      .union(isolated.select($"id".as("child_id"),
+        concat($"id", lit(suffix)).as("community_id")))
+
+    val communities = membership.select($"community_id").distinct()
+      .withColumn("iteration", lit(iteration))
+
+    val e2 = edges
+      .join(labels.select($"id".as("src"), $"comm".as("s_comm")), "src")
+      .join(labels.select($"id".as("dst"), $"comm".as("t_comm")), "dst")
+      .where($"s_comm" =!= $"t_comm")
+      .groupBy($"s_comm", $"t_comm")
+      .agg(sum($"w").as("w_sum"))
+    val linksTo = e2.select(
+      concat($"s_comm", lit(suffix)).as("src"),
+      concat($"t_comm", lit(suffix)).as("dst"),
+      (if (halve) $"w_sum" / 2 else $"w_sum").cast("double").as("weight"))
+
+    Level(iteration, membership, communities, linksTo)
+  }
+
+  /** Build (nodes, edges, m) for the entity-level pass from resolved triples:
+    * unit weight per distinct (subj, pred, obj) edge instance, symmetrized;
+    * m = directed instance count (init :50-52 `@@m += 1` per traversal).
+    */
+  def initGraph(resolvedTriples: DataFrame): (DataFrame, DataFrame, Double) = {
+    val spark = resolvedTriples.sparkSession
+    import spark.implicits._
+    val inst = resolvedTriples.select($"subj", $"pred", $"obj").distinct()
+    val directed = inst.select($"subj".as("src"), $"obj".as("dst"))
+      .union(inst.select($"obj".as("src"), $"subj".as("dst")))
+      .where($"src" =!= $"dst") // self-edges never move nodes; reference's
+                                // hop filters them via community inequality
+    val edges = directed.groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint(true)
+    val m = edges.agg(sum($"w")).as[Double].collect()(0)
+    val nodes = edges.groupBy($"src".as("id")).agg(sum($"w").as("k"))
+      .withColumn("k_self", lit(0.0))
+    (nodes, edges, m)
+  }
+
+  /** (nodes, edges, m) for a community-level pass from the previous level's
+    * LINKS_TO (levels :37-47: k = Σ incident directed weight, m = Σ w / 2,
+    * self-loops fold into k_self).
+    */
+  def levelGraph(linksTo: DataFrame): (DataFrame, DataFrame, Double) = {
+    val spark = linksTo.sparkSession
+    import spark.implicits._
+    val edges = linksTo.select($"src", $"dst", $"weight".as("w"))
+    val m = edges.agg(coalesce(sum($"w"), lit(0.0))).as[Double].collect()(0) / 2
+    val nodes = edges.groupBy($"src".as("id"))
+      .agg(sum($"w").as("k"),
+        sum(when($"src" === $"dst", $"w").otherwise(0.0)).as("k_self"))
+    (nodes, edges.where($"src" =!= $"dst"), m)
+  }
+
+  /** Modularity at a hierarchy level (`modularity.gsql:1-49`): project each
+    * entity to its ancestor community at `iteration` via HAS_PARENT descent,
+    * then Q = Σ_C [ in_C/Σw − (tot_C/Σw)² ] over the unit-weight directed
+    * entity graph.
+    */
+  def modularity(entityEdges: DataFrame, levels: Seq[Level], iteration: Int): Double = {
+    val spark = entityEdges.sparkSession
+    import spark.implicits._
+    require(iteration >= 1 && iteration <= levels.size)
+    // entity -> level-1 community -> ... -> level-`iteration` community
+    var proj = levels.head.membership // (child_id, community_id)
+    for (lvl <- levels.slice(1, iteration)) {
+      proj = proj.join(
+        lvl.membership.select($"child_id".as("community_id"), $"community_id".as("up")),
+        "community_id")
+        .select($"child_id", $"up".as("community_id"))
+    }
+    val e = entityEdges
+      .join(proj.select($"child_id".as("src"), $"community_id".as("s_comm")), "src")
+      .join(proj.select($"child_id".as("dst"), $"community_id".as("t_comm")), "dst")
+    val sumW = e.count().toDouble
+    if (sumW == 0) return 0.0
+    val per = e.groupBy($"s_comm")
+      .agg(sum(lit(1.0)).as("tot"),
+        sum(when($"s_comm" === $"t_comm", 1.0).otherwise(0.0)).as("in_w"))
+      .select(($"in_w" / sumW - pow($"tot" / sumW, 2)).as("q"))
+      .agg(sum($"q")).as[Double].collect()(0)
+    per
+  }
+
+  final case class Result(levels: Seq[Level], modularities: Seq[Double])
+
+  /** Full hierarchy driver — the ECC convergence loop
+    * (`ecc/app/graphrag/graph_rag.py:349-413`): run levels until
+    * |Q_i − Q_{i−1}| ≤ 1e-7, Q drops by > 0.05, Q hits 0, or the graph
+    * stops shrinking.
+    */
+  def run(resolvedTriples: DataFrame, maxLevels: Int = 6, maxHop: Int = 10,
+      allEntities: Option[DataFrame] = None): Result = {
+    val spark = resolvedTriples.sparkSession
+    import spark.implicits._
+    val (nodes0, edges0, m0) = initGraph(resolvedTriples)
+    val entityEdges = edges0.select($"src", $"dst")
+    val levels = Seq.newBuilder[Level]
+    val mods = Seq.newBuilder[Double]
+
+    var labels = localMoving(nodes0, edges0, m0, maxHop)
+    // entities that appear in no triple still get singleton communities
+    // (init :171-176); callers pass the full canonical-entity id set
+    for (all <- allEntities) {
+      val extra = all.select(col(all.columns.head).as("id"))
+        .join(labels.select($"id"), Seq("id"), "left_anti")
+        .select($"id", $"id".as("comm"))
+      labels = labels.select($"id", $"comm").union(extra)
+    }
+    var lvl = coarsen(labels, edges0, 1)
+    lvl = lvl.copy(membership = lvl.membership.localCheckpoint(true),
+      linksTo = lvl.linksTo.localCheckpoint(true))
+    levels += lvl
+    var allLevels = Seq(lvl)
+    var prevQ = modularity(entityEdges, allLevels, 1)
+    mods += prevQ
+
+    var it = 2
+    var stop = false
+    while (it <= maxLevels && !stop) {
+      val (n, e, m) = levelGraph(allLevels.last.linksTo)
+      if (m <= 1e-11) { stop = true }
+      else {
+        val lbl = localMoving(n, e, m, maxHop)
+        var next = coarsen(lbl, e, it)
+        next = next.copy(membership = next.membership.localCheckpoint(true),
+          linksTo = next.linksTo.localCheckpoint(true))
+        allLevels = allLevels :+ next
+        levels += next
+        val q = modularity(entityEdges, allLevels, it)
+        mods += q
+        val nPrev = allLevels(allLevels.size - 2).communities.count()
+        val nCur = next.communities.count()
+        if (math.abs(q - prevQ) <= 1e-7 || q == 0.0 || q - prevQ <= -0.05 || nCur >= nPrev)
+          stop = true
+        prevQ = q
+        it += 1
+      }
+    }
+    Result(levels.result(), mods.result())
+  }
+}

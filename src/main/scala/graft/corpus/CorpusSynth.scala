@@ -34,7 +34,15 @@ object CorpusSynth extends Serializable {
       seed: Long = 42L,
       nPages: Int = 100,
       nClusters: Int = 24,
-      noiseFrac: Double = 0.02)
+      noiseFrac: Double = 0.02,
+      /** Topic-block structure: clusters live in blocks of `blockSize`; a
+        * fact's object is drawn from the subject's block with probability
+        * `blockBias` — gives the resolved-entity graph real community
+        * structure for the Louvain stage (cross-block facts remain, as on
+        * the real web).
+        */
+      blockSize: Int = 6,
+      blockBias: Double = 0.85)
 
   /** Golden resolved triple (canonical ids) with page provenance. */
   final case class GoldenTriple(subj_canonical: String, pred: String, obj_canonical: String, url: String)
@@ -125,7 +133,13 @@ object CorpusSynth extends Serializable {
     final case class Fact(subj: Cluster, sAlias: Int, verb: Int, obj: Cluster, oAlias: Int, noisy: Boolean)
     val facts = (0 until nFacts).map { _ =>
       val sc = rng.nextInt(cfg.nClusters)
-      var oc = rng.nextInt(cfg.nClusters)
+      var oc =
+        if (rng.nextDouble() < cfg.blockBias && cfg.nClusters > cfg.blockSize) {
+          val block = sc / cfg.blockSize
+          val lo = block * cfg.blockSize
+          val hi = math.min(lo + cfg.blockSize, cfg.nClusters)
+          lo + rng.nextInt(hi - lo)
+        } else rng.nextInt(cfg.nClusters)
       if (oc == sc) oc = (oc + 1) % cfg.nClusters
       val s = cluster(cfg, sc); val o = cluster(cfg, oc)
       Fact(s, rng.nextInt(s.aliases.size), rng.nextInt(Verbs.size),

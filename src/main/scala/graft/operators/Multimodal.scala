@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata, and the
+  * decode / feature-extract / frame-sample operators run as per-partition
+  * batch functions over those bytes.
+  *
+  * The DECODERS here are deterministic STUBS — this container ships no
+  * image/audio codecs, so `decodeStub` derives a feature vector from the
+  * bytes with a seeded hash. Everything around the stub is the real Spark
+  * surface a production decoder plugs into: the schema, the mapPartitions
+  * batching (one decoder instance per partition, exactly like the
+  * extraction stage's pooled model clients), the size-aware repartitioning,
+  * and the metadata pushdown (filters on `meta.*` prune at the parquet scan
+  * because the struct columns are stored columnar).
+  *
+  * Scale notes: payload rows are orders of magnitude wider than text rows —
+  * partition by target BYTES not row count ([[repartitionBySize]]), keep
+  * `spark.sql.files.maxPartitionBytes` at/below executor-memory/cores, and
+  * never collect payloads to the driver.
+  */
+object Multimodal {
+
+  /** One media row. meta fields are nullable per-modality. */
+  final case class MediaRow(
+      media_id: String,
+      modality: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      format: String)
+
+  final case class MediaFeatures(
+      media_id: String,
+      modality: String,
+      n_bytes: Long,
+      features: Array[Float])
+
+  final case class Frame(
+      media_id: String,
+      frame_idx: Int,
+      frame_ts_ms: Long,
+      frame_bytes: Array[Byte])
+
+  /** Deterministic synthetic media table (seeded; payload sizes and shapes
+    * are functions of (seed, i)) — the test stand-in for a real blob-store
+    * scan (`spark.read.format("binaryFile")` over an object-store glob).
+    */
+  def synth(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val rng = new scala.util.Random(seed * 1315423911L + i)
+      val modality = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val size = 512 + rng.nextInt(4096)
+      val payload = new Array[Byte](size)
+      rng.nextBytes(payload)
+      val (w, h, sr, dur, fmt) = modality match {
+        case "image" => (64 + rng.nextInt(512), 64 + rng.nextInt(512), 0, 0L, "png")
+        case "audio" => (0, 0, 16000, 1000L + rng.nextInt(60000), "wav")
+        case _       => (320, 240, 0, 1000L + rng.nextInt(120000), "mp4")
+      }
+      MediaRow(f"media_$i%06d", modality, payload, w, h, sr, dur, fmt)
+    }
+  }
+
+  /** STUB decoder: a real implementation would decode the payload (JPEG →
+    * pixels, WAV → PCM) and run a feature extractor; this derives `dim`
+    * pseudo-features from a rolling hash of the bytes. Deterministic, pure.
+    */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+      out((i % dim)) += ((h >>> 40).toInt & 0xffff) / 65535.0f - 0.5f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction over the payload column. One decoder per partition
+    * (mapPartitions), batch-shaped exactly like a production model runner:
+    * the partition iterator IS the batch stream, nothing is materialized.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // a real decoder/model handle would be constructed HERE, once per
+      // partition, and closed when the iterator drains
+      it.map { m =>
+        MediaFeatures(m.media_id, m.modality, m.payload.length.toLong,
+          decodeStub(m.payload, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `everyMs` milliseconds take one
+    * "frame" (STUB: a fixed-size byte slice at the proportional offset; a
+    * real impl seeks the container). flatMap — narrow, no shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
+      frameBytes: Int = 256): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").flatMap { m =>
+      val nFrames = math.max(1L, m.duration_ms / everyMs).toInt
+      (0 until nFrames).iterator.map { f =>
+        val ts = f.toLong * everyMs
+        val off = ((m.payload.length.toLong * f) / math.max(1, nFrames)).toInt
+        val end = math.min(m.payload.length, off + frameBytes)
+        Frame(m.media_id, f, ts, java.util.Arrays.copyOfRange(m.payload, off, end))
+      }
+    }
+  }
+
+  /** Repartition a payload table to roughly `targetBytes` per partition —
+    * row-count partitioning is wrong for binary columns whose sizes vary by
+    * 100x. One cheap aggregate to estimate, then a repartition.
+    */
+  def repartitionBySize(df: DataFrame, payloadCol: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val totalBytes = df.select(sum(length(col(payloadCol)))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    df.repartition(parts)
+  }
+
+  /** Metadata-gated decode: filters on meta columns happen BEFORE the
+    * payload is touched, so parquet row-group pruning skips the heavy bytes
+    * (verify with .explain: PushedFilters on width/height/modality).
+    */
+  def decodeImagesAbove(media: Dataset[MediaRow], minW: Int, minH: Int,
+      dim: Int = 64): Dataset[MediaFeatures] =
+    extractFeatures(
+      media.filter(m => m.modality == "image" && m.width >= minW && m.height >= minH),
+      dim)
+}

@@ -149,6 +149,32 @@ object Pipeline {
       c.read("type_relationships").count()
     }
 
+    stage("communities") { c =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val rt = c.read("resolved_triples")
+      val res = c.read("resolves_to")
+      val louv = graft.community.Louvain.run(rt,
+        allEntities = Some(res.select(col("canonical_id")).distinct()))
+      val descs = graft.community.Summarize.describeAll(
+        louv.levels, c.read("entities"), res.as[ResolvesTo].toDF())
+      val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
+        .join(descs, Seq("community_id", "iteration"), "left")
+      c.write("communities", comms)
+      c.write("in_community", louv.levels.head.membership
+        .toDF("canonical_id", "community_id"))
+      if (louv.levels.size > 1)
+        c.write("has_parent", louv.levels.tail.map(_.membership).reduce(_ unionByName _)
+          .toDF("community_id", "parent_id"))
+      else
+        c.write("has_parent", spark.emptyDataFrame
+          .withColumn("community_id", lit("")).withColumn("parent_id", lit("")).limit(0))
+      c.write("links_to", louv.levels.map(_.linksTo).reduce(_ unionByName _))
+      c.write("modularity",
+        louv.modularities.zipWithIndex
+          .map { case (q, i) => (i + 1, q) }.toDF("iteration", "modularity"))
+      c.read("communities").count()
+    }
+
     Result(cat, results.result())
   }
 }

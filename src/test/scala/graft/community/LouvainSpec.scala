@@ -1,0 +1,103 @@
+package graft.community
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Louvain over planted graphs: known community structure recovered,
+  * modularity positive and non-decreasing along useful levels, membership
+  * is a partition, hierarchy + summaries deterministic.
+  */
+class LouvainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Two 4-cliques bridged by a single edge, as triples. */
+  private def cliquesTriples = {
+    val a = Seq("a1", "a2", "a3", "a4")
+    val b = Seq("b1", "b2", "b3", "b4")
+    def clique(xs: Seq[String]) =
+      for { i <- xs.indices; j <- (i + 1) until xs.size }
+        yield (xs(i), "REL", xs(j), "chunk0")
+    (clique(a) ++ clique(b) :+ (("a1", "BRIDGE", "b1", "chunk0")))
+      .toDF("subj", "pred", "obj", "chunk_id")
+  }
+
+  test("two bridged cliques resolve to two level-1 communities") {
+    val res = Louvain.run(cliquesTriples)
+    val lvl1 = res.levels.head
+    val m = lvl1.membership.as[(String, String)].collect().toMap
+    assert(m.size == 8)
+    val aComms = Set("a1", "a2", "a3", "a4").map(m)
+    val bComms = Set("b1", "b2", "b3", "b4").map(m)
+    assert(aComms.size == 1, s"clique A split: $aComms")
+    assert(bComms.size == 1, s"clique B split: $bComms")
+    assert(aComms != bComms, "cliques merged")
+    assert(res.modularities.head > 0.3)
+  }
+
+  test("membership is a partition and community ids carry the level suffix") {
+    val res = Louvain.run(cliquesTriples)
+    val lvl1 = res.levels.head
+    assert(lvl1.membership.groupBy("child_id").count().where($"count" > 1).isEmpty)
+    assert(lvl1.communities.where(!$"community_id".endsWith("_1")).isEmpty)
+  }
+
+  test("isolated entities get singleton communities when provided") {
+    val all = Seq("a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4", "lonely")
+      .toDF("canonical_id")
+    val res = Louvain.run(cliquesTriples, allEntities = Some(all))
+    val m = res.levels.head.membership.as[(String, String)].collect().toMap
+    assert(m("lonely") == "lonely_1")
+  }
+
+  test("hierarchy: ring of cliques coarsens across levels") {
+    // 6 triangles in a ring; level 1 should find the triangles
+    val n = 6
+    val tri = (0 until n).flatMap { c =>
+      val ids = (0 until 3).map(i => s"c${c}n$i")
+      val inner = for { i <- 0 until 3; j <- (i + 1) until 3 }
+        yield (ids(i), "REL", ids(j), "k")
+      inner :+ ((ids(0), "RING", s"c${(c + 1) % n}n0", "k"))
+    }.toDF("subj", "pred", "obj", "chunk_id")
+    val res = Louvain.run(tri)
+    val lvl1 = res.levels.head
+    val m = lvl1.membership.as[(String, String)].collect().toMap
+    val perTriangle = (0 until n).map(c => (0 until 3).map(i => m(s"c${c}n$i")).toSet)
+    assert(perTriangle.forall(_.size == 1), s"triangles split: $perTriangle")
+    assert(res.modularities.head > 0.5)
+    assert(res.levels.size >= 1)
+  }
+
+  test("deterministic across runs") {
+    val r1 = Louvain.run(cliquesTriples).levels.head.membership
+      .orderBy("child_id").as[(String, String)].collect().toSeq
+    val r2 = Louvain.run(cliquesTriples).levels.head.membership
+      .orderBy("child_id").as[(String, String)].collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("summaries: single child verbatim, multi-child sorted concat") {
+    assert(Summarize.summarize("abc_12", Seq("only")) == "only")
+    assert(Summarize.summarize("abc_12", Seq("z desc", "a desc", "z desc")) ==
+      "abc: a desc | z desc")
+  }
+
+  test("describeAll produces one description per community at every level") {
+    val res = Louvain.run(cliquesTriples)
+    val entities = Seq(
+      ("a1", Seq("alpha one")), ("a2", Seq("alpha two")), ("a3", Seq("")),
+      ("a4", Seq("alpha four")), ("b1", Seq("beta one")), ("b2", Seq("beta two")),
+      ("b3", Seq("beta three")), ("b4", Seq[String]()))
+      .toDF("entity_id", "descriptions")
+    val resolvesTo = entities.select($"entity_id", $"entity_id".as("canonical_id"))
+    val descs = Summarize.describeAll(res.levels, entities, resolvesTo)
+    val nComms = res.levels.map(_.communities.count()).sum
+    assert(descs.count() == nComms)
+    assert(descs.where($"description" === "").isEmpty)
+    // empty-description entity falls back to its id
+    val lvl1A = descs.where($"iteration" === 1).collect()
+    assert(lvl1A.exists(_.getString(2).contains("a3")))
+  }
+}
