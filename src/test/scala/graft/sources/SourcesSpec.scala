@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.Lifecycle
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val clock = Some(Timestamp.valueOf("2025-01-01 00:00:00"))
+
+  test("loadJson lowercases doc ids and fills missing fields") {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("d.jsonl"),
+      """{"doc_id":"DOC-A","content":"Alpha text","doc_type":"txt"}
+        |{"doc_id":"Doc-B","content":"Beta"}
+        |""".stripMargin)
+    val out = Ingest.loadJson(spark, dir.toString, clock)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("doc-a", "doc-b"))
+    assert(out(1).getString(2) == "") // missing doc_type -> ""
+    assert(out(0).getTimestamp(3) == clock.get)
+  }
+
+  test("loadCsv reads pipe-separated with header") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("d.csv"),
+      "doc_id|content|doc_type\nUPPER-1|\"text with | pipe\"|txt\n")
+    val out = Ingest.loadCsv(spark, dir.toString, clock).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "upper-1")
+    assert(out(0).getString(1) == "text with | pipe")
+  }
+
+  test("loadBlobText: one doc per file, id from filename") {
+    val dir = Files.createTempDirectory("graft-blob")
+    Files.writeString(dir.resolve("Page-One.txt"), "line a\nline b")
+    Files.writeString(dir.resolve("other.txt"), "solo")
+    val out = Ingest.loadBlobText(spark, dir.toString + "/*.txt", clock)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("other.txt", "page-one.txt"))
+    assert(out(1).getString(1) == "line a\nline b")
+  }
+
+  test("modHashBatch partitions rows disjointly and completely") {
+    val df = (0 until 100).map(i => s"id$i").toDF("id")
+    val n = 7
+    val batches = (0 until n).map(b =>
+      Lifecycle.modHashBatch(df, "id", n, b).as[String].collect().toSet)
+    assert(batches.map(_.size).sum == 100)
+    assert(batches.reduce(_ union _).size == 100)
+  }
+
+  test("scanForUpdates picks fresh-or-expired by priority with limit") {
+    val t0 = Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(h: Int) = Timestamp.valueOf(f"2025-01-01 $h%02d:00:00")
+    val df = Seq(
+      ("a", ts(1), null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp]),
+      ("b", ts(0), null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp]),
+      ("c", ts(2), null.asInstanceOf[Timestamp], ts(3)), // processed
+      ("d", ts(3), ts(4), null.asInstanceOf[Timestamp])) // in-flight (recent? expired by 2026 now)
+      .toDF("doc_id", "ingested_at", "processing_at", "processed_at")
+    val out = Lifecycle.scanForUpdates(df, 2).select("doc_id").as[String].collect().toSeq
+    assert(out == Seq("b", "a")) // priority by ingested_at, c excluded
+  }
+
+  test("status counts lifecycle states") {
+    val t = Timestamp.valueOf("2025-01-01 00:00:00")
+    val df = Seq(
+      ("a", null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp]),
+      ("b", t, null.asInstanceOf[Timestamp]),
+      ("c", t, t))
+      .toDF("doc_id", "processing_at", "processed_at")
+    val m = Lifecycle.status(df).as[(String, Long)].collect().toMap
+    assert(m == Map("fresh" -> 1L, "processing" -> 1L, "processed" -> 1L))
+  }
+
+  test("nonexistent = anti join") {
+    val cand = Seq("a", "b", "x").toDF("id")
+    val existing = Seq("a", "b", "c").toDF("id")
+    assert(Lifecycle.nonexistent(cand, existing, "id").as[String].collect().toSeq == Seq("x"))
+  }
+}
