@@ -47,10 +47,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresLow = math.max(1, coresHigh / 4)
+    // sized so parallel work dominates the ER segment's fixed latency —
+    // scaling efficiency is meaningless when wall time is job-scheduling
+    // overhead (Amdahl at toy scale)
     val pages =
       if (sfDir.contains("0.001")) 500
-      else if (sfDir.contains("0.01")) 2000
-      else 12000
+      else if (sfDir.contains("0.01")) 4000
+      else 40000
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
 
     // warm JIT/classloading so the low-parallelism run isn't penalized

@@ -61,11 +61,15 @@ object SparkEntry {
       GraphAssembly.chunks(docs, graft.chunk.Chunkers.forType("regex"))
     lazy val extracted: Dataset[ExtractedGraphDoc] =
       GraphAssembly.extractAll(chunks, new RuleExtractor).localCheckpoint(true)
-    lazy val entities: Dataset[Entity] = GraphAssembly.entities(extracted)
+    // entities/resolvesTo fan out to several consumers — checkpoint so each
+    // is computed once (the pipeline driver gets this for free from its
+    // stage tables; the in-memory path must do it explicitly)
+    lazy val entities: Dataset[Entity] =
+      GraphAssembly.entities(extracted).localCheckpoint(true)
     lazy val resolvesTo: Dataset[ResolvesTo] = {
       val emb = Resolution.embedEntities(entities, Resolution.Params())
       val pairs = Resolution.candidatePairs(emb, Resolution.Params())
-      Resolution.resolvesTo(entities, pairs)
+      Resolution.resolvesTo(entities, pairs).localCheckpoint(true)
     }
     lazy val triples: Dataset[Triple] = GraphAssembly.triples(extracted)
     lazy val resolvedTriples: Dataset[ResolvedTriple] =

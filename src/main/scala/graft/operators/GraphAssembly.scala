@@ -92,16 +92,29 @@ object GraphAssembly {
     * merge (`workers.py:209-217`; set semantics make it associative,
     * SURVEY.md E5). entity_type = lexicographic min of observed types (an
     * entity CAN have several; the full mapping lives in [[entityTypes]]).
+    *
+    * Skew: collect_set partials for a web-hot entity ("united_states") stay
+    * LARGE, so unlike plain counts the final reduce of one hot key is
+    * unbounded — hence the two-phase salted merge (Skew.scala rationale):
+    * phase 1 reduces (entity, salt-of-description) across many tasks, phase
+    * 2 merges ≤ nSalts bounded partials. The exact-tuple dedups elsewhere
+    * (triples, mentions) do NOT need this: their partial aggregation leaves
+    * at most one row per partition per key, bounded by partition count.
     */
-  def entities(extracted: Dataset[ExtractedGraphDoc]): Dataset[Entity] = {
+  def entities(extracted: Dataset[ExtractedGraphDoc], nSalts: Int = 64): Dataset[Entity] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     entityOccurrences(extracted)
       .toDF("entity_id", "description", "entity_type")
+      .withColumn("__salt", Skew.saltCol($"description", nSalts))
+      .groupBy($"entity_id", $"__salt")
+      .agg(
+        collect_set($"description").as("d_part"),
+        min(when($"entity_type" =!= "", $"entity_type")).as("t_part"))
       .groupBy($"entity_id")
       .agg(
-        sort_array(collect_set($"description")).as("descriptions"),
-        coalesce(min(when($"entity_type" =!= "", $"entity_type")), lit("")).as("entity_type"))
+        sort_array(array_distinct(flatten(collect_list($"d_part")))).as("descriptions"),
+        coalesce(min($"t_part"), lit("")).as("entity_type"))
       .as[Entity]
   }
 

@@ -97,23 +97,49 @@ object Similarity {
     import spark.implicits._
     val pivots = pivotsOverride.getOrElse(defaultPivots(corpus, p, idCol, embCol))
 
-    // cluster assignment: per corpus row, argmax cosine over broadcast pivots
-    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("c_emb"))
-      .crossJoin(broadcast(pivots))
-      .withColumn("pcos", cosineUdf($"c_emb", $"pivot_emb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"neighbor_id").orderBy($"pcos".desc, $"pivot_id")))
-      .where($"rn" === 1)
-      .select($"neighbor_id", $"c_emb", $"pivot_id".as("cluster"))
+    // pivot table is tiny by construction — broadcast the raw arrays and do
+    // the argmax in a primitive loop per row (a crossJoin + window would
+    // shuffle rows x pivots and box every vector)
+    val pivotArr = pivots.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(pivotArr)
+    def cosRaw(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length); var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
 
-    // query → its nProbe nearest clusters
-    val probes = queries.select(col(idCol).cast("long").as("query_id"), col(embCol).as("q_emb"))
-      .crossJoin(broadcast(pivots))
-      .withColumn("pcos", cosineUdf($"q_emb", $"pivot_emb"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"pcos".desc, $"pivot_id")))
-      .where($"rn" <= p.nProbe)
-      .select($"query_id", $"q_emb", $"pivot_id".as("cluster"))
+    // cluster assignment: argmax over pivots, ties to the smaller pivot id
+    // (ascending scan + strict improvement)
+    val assigned = corpus.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, v) =>
+          var best = 0.0 - 2.0; var bestId = -1L; var j = 0
+          while (j < ps.length) {
+            val c = cosRaw(v, ps(j)._2)
+            if (c > best) { best = c; bestId = ps(j)._1 }
+            j += 1
+          }
+          (id, v, bestId)
+        }
+      }.toDF("neighbor_id", "c_emb", "cluster")
+
+    // query -> its nProbe nearest clusters (same tie rule)
+    val nProbe = p.nProbe
+    val probes = queries.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val ps = bc.value
+        ps.map { case (pid, pe) => (cosRaw(v, pe), pid) }
+          .sortBy { case (c, pid) => (-c, pid) }
+          .take(nProbe)
+          .map { case (_, pid) => (id, v, pid) }
+      }.toDF("query_id", "q_emb", "cluster")
 
     val scored = assigned.join(probes, "cluster")
       .withColumn("cos", cosineUdf($"q_emb", $"c_emb"))

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plan auditor: prints `explain("formatted")` for the engine's key
+  * operators and greps each plan for the physical properties the scale
+  * design depends on — pushed filters, pruned read schemas, broadcast
+  * joins, partial aggregation, TakeOrderedAndProject, whole-stage codegen
+  * spans. Run:
+  *
+  *   sbt -batch "runMain graft.plans.ExplainAudit /root/testdata/sf0.01"
+  *
+  * Exits nonzero if a required property is missing from its plan, so this
+  * doubles as a CI guard for plan regressions.
+  */
+object ExplainAudit {
+
+  final case class Check(name: String, df: SparkSession => DataFrame,
+      mustContain: Seq[String], note: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-explain-audit")
+      .config("spark.sql.shuffle.partitions", "4")
+      // static-plan audit: AQE wraps plans in AdaptiveSparkPlan before
+      // execution, hiding codegen spans from toString; runtime sessions
+      // keep AQE on
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    val checks = Seq(
+      Check("filter+projection pushdown",
+        _ => t("lineitem").where(col("l_quantity") > 45)
+          .select("l_orderkey", "l_quantity"),
+        Seq("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]",
+          "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+        "filter AND column pruning must reach the parquet scan"),
+
+      Check("broadcast dimension join",
+        _ => t("customer")
+          .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").count(),
+        Seq("BroadcastHashJoin", "HashAggregate"),
+        "small dims broadcast; aggregate is partial+final"),
+
+      Check("partial aggregation",
+        _ => t("lineitem").groupBy("l_returnflag").agg(sum("l_quantity")),
+        Seq("partial_sum", "HashAggregate"),
+        "map-side combine before the shuffle"),
+
+      Check("top-k as TakeOrderedAndProject",
+        _ => t("orders").orderBy(col("o_totalprice").desc).limit(10),
+        Seq("TakeOrderedAndProject"),
+        "orderBy+limit must not global-sort"),
+
+      Check("whole-stage codegen on the hot text path",
+        _ => t("documents").select(
+          length(regexp_replace(col("text"), "[^A-Z]", "")).as("u"),
+          size(split(trim(col("text")), "\\s+")).as("n")),
+        Seq("*(1) Project"), // the *(n) prefix marks a WholeStageCodegen span
+        "string metrics stay inside codegen"),
+
+      Check("semi join stays a join (no distinct blowup)",
+        _ => t("supplier").join(t("lineitem").where(col("l_quantity") > 45),
+          col("s_suppkey") === col("l_suppkey"), "left_semi"),
+        Seq("LeftSemi"),
+        "left_semi physical operator (broadcast or shuffled)")
+    )
+
+    var failures = 0
+    checks.foreach { c =>
+      val plan = c.df(spark).queryExecution.executedPlan.toString
+      val missing = c.mustContain.filterNot(plan.contains)
+      val status = if (missing.isEmpty) "OK  " else { failures += 1; "FAIL" }
+      println(s"[$status] ${c.name} — ${c.note}")
+      missing.foreach(m => println(s"       missing: $m"))
+      if (missing.nonEmpty || args.contains("--verbose")) {
+        println(plan.linesIterator.take(40).map("       | " + _).mkString("\n"))
+      }
+    }
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+    println(s"all ${checks.size} plan checks passed")
+  }
+}
