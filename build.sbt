@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the target box is local[32] with 128 GiB (builder env spec); 8g starves
+  // 32 concurrent tasks into GC collapse at bench scale. Xms pinned to Xmx:
+  // incremental heap growth on a 24g heap showed up as kernel-time page
+  // fault storms with 3-6x run-to-run variance
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -59,8 +59,15 @@ object Bench {
     // warm JIT/classloading so the low-parallelism run isn't penalized
     runKg(coresLow, cfg.copy(nPages = 200))
 
-    val (nLow, wallLow) = runKg(coresLow, cfg)
-    val (nHigh, wallHigh) = runKg(coresHigh, cfg)
+    // best-of-2 per level, interleaved: the sandbox VM shows multi-x
+    // steal-time swings (host contention), so a single sample per level can
+    // invert the scaling signal entirely
+    val (nLow, wallLow1) = runKg(coresLow, cfg)
+    val (nHigh, wallHigh1) = runKg(coresHigh, cfg)
+    val (_, wallLow2) = runKg(coresLow, cfg)
+    val (_, wallHigh2) = runKg(coresHigh, cfg)
+    val wallLow = math.min(wallLow1, wallLow2)
+    val wallHigh = math.min(wallHigh1, wallHigh2)
     val thrLow = nLow / wallLow
     val thrHigh = nHigh / wallHigh
     val eff = (thrHigh / thrLow) / (coresHigh.toDouble / coresLow)

@@ -32,6 +32,21 @@ object Normalize extends Serializable {
   }
   private val FuncRe = "(.*)\\(".r
 
+  /** [[processId]] as a pure Catalyst Column (codegen'd, no UDF) — used in
+    * the exploded assembly path where object deserialization would dominate.
+    * Bit-for-bit equal to the Scala function (asserted by NormalizeSpec over
+    * generated inputs; the same SQL form is the DuckDB oracle of
+    * q_process_id).
+    */
+  def processIdCol(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val s1 = lower(regexp_replace(regexp_replace(regexp_replace(
+      raw, " ", "_"), "/", ""), "%", "percent"))
+    val s2 = when(s1.contains("("), regexp_extract(s1, "(.*)\\(", 1)).otherwise(s1)
+    when(s2 === "''" || s2 === "\"\"", lit(""))
+      .otherwise(regexp_replace(regexp_replace(s2, "\\(", ""), "\\)", ""))
+  }
+
   /** Relation-type normalization: `replace(" ","_").upper()`
     * (`common/extractors/LLMEntityRelationshipExtractor.py:64,167`).
     */

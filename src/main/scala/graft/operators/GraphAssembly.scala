@@ -60,31 +60,31 @@ object GraphAssembly {
     *     kept iff BOTH ids are nonempty (the reference `continue`s out of the
     *     whole edge when the source id is empty, `workers.py:349-352,374-377`);
     *     stored description = the relationship definition (may be "").
+    *
+    * Pure Catalyst (explode + codegen'd processIdCol) — the typed flatMap
+    * form paid nested-Seq object deserialization per row, which dominated
+    * the stage at bench scale.
     */
-  private def entityOccurrences(extracted: Dataset[ExtractedGraphDoc])
-      : Dataset[(String, String, String)] = {
+  private def entityOccurrences(extracted: Dataset[ExtractedGraphDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { doc =>
-      val fromNodes = doc.nodes.iterator.flatMap { n =>
-        val id = Normalize.processId(n.id)
-        if (id.isEmpty) Iterator.empty
-        else {
-          val desc = if (n.description.isEmpty) n.id else n.description
-          Iterator((id, desc, Normalize.processId(n.node_type)))
-        }
-      }
-      val fromRels = doc.rels.iterator.flatMap { r =>
-        val s = Normalize.processId(r.source)
-        if (s.isEmpty) Iterator.empty
-        else {
-          val t = Normalize.processId(r.target)
-          val src = Iterator((s, r.description, ""))
-          if (t.isEmpty) src else src ++ Iterator((t, r.description, ""))
-        }
-      }
-      (fromNodes ++ fromRels).toSeq
-    }
+    val df = extracted.toDF()
+    val fromNodes = df.select(explode($"nodes").as("n"))
+      .select(
+        Normalize.processIdCol($"n.id").as("entity_id"),
+        when($"n.description" === "", $"n.id").otherwise($"n.description").as("description"),
+        Normalize.processIdCol($"n.node_type").as("entity_type"))
+      .where($"entity_id" =!= "")
+    val rels = df.select(explode($"rels").as("r"))
+      .select(
+        Normalize.processIdCol($"r.source").as("s"),
+        Normalize.processIdCol($"r.target").as("t"),
+        $"r.description".as("description"))
+      .where($"s" =!= "")
+    val fromSrc = rels.select($"s".as("entity_id"), $"description", lit("").as("entity_type"))
+    val fromTgt = rels.where($"t" =!= "")
+      .select($"t".as("entity_id"), $"description", lit("").as("entity_type"))
+    fromNodes.unionByName(fromSrc).unionByName(fromTgt)
   }
 
   /** Entities with set-merged descriptions — the order-independent grouped
@@ -105,7 +105,6 @@ object GraphAssembly {
     val spark = extracted.sparkSession
     import spark.implicits._
     entityOccurrences(extracted)
-      .toDF("entity_id", "description", "entity_type")
       .withColumn("__salt", Skew.saltCol($"description", nSalts))
       .groupBy($"entity_id", $"__salt")
       .agg(
@@ -124,15 +123,11 @@ object GraphAssembly {
   def entityTypes(extracted: Dataset[ExtractedGraphDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted
-      .flatMap { doc =>
-        doc.nodes.flatMap { n =>
-          val id = Normalize.processId(n.id)
-          val tp = Normalize.processId(n.node_type)
-          if (id.isEmpty || tp.isEmpty) None else Some((id, tp))
-        }
-      }
-      .toDF("entity_id", "type_id")
+    extracted.toDF().select(explode($"nodes").as("n"))
+      .select(
+        Normalize.processIdCol($"n.id").as("entity_id"),
+        Normalize.processIdCol($"n.node_type").as("type_id"))
+      .where($"entity_id" =!= "" && $"type_id" =!= "")
       .dropDuplicates("entity_id", "type_id")
   }
 
@@ -140,13 +135,11 @@ object GraphAssembly {
   def mentions(extracted: Dataset[ExtractedGraphDoc]): Dataset[Mention] = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { doc =>
-      doc.nodes.iterator
-        .map(n => Normalize.processId(n.id))
-        .filter(_.nonEmpty)
-        .map(id => Mention(doc.chunk_id, id))
-        .toSeq
-    }.dropDuplicates("chunk_id", "entity_id").as[Mention]
+    extracted.toDF().select($"chunk_id", explode($"nodes").as("n"))
+      .select($"chunk_id", Normalize.processIdCol($"n.id").as("entity_id"))
+      .where($"entity_id" =!= "")
+      .dropDuplicates("chunk_id", "entity_id")
+      .as[Mention]
   }
 
   /** The raw triple table: relationship edges + pairwise co-occurrence edges
@@ -158,20 +151,32 @@ object GraphAssembly {
   def triples(extracted: Dataset[ExtractedGraphDoc]): Dataset[Triple] = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    extracted.flatMap { doc =>
-      val nodeIds = doc.nodes.map(n => Normalize.processId(n.id)).filter(_.nonEmpty)
-      val cooc = for {
-        i <- nodeIds.indices.iterator
-        j <- (i + 1) until nodeIds.size
-      } yield Triple(nodeIds(i), CoOccurrencePred, nodeIds(j), doc.chunk_id)
-      val rels = doc.rels.iterator.flatMap { r =>
-        val s = Normalize.processId(r.source)
-        val t = Normalize.processId(r.target)
-        if (s.isEmpty || t.isEmpty) Iterator.empty
-        else Iterator(Triple(s, r.relation_type, t, doc.chunk_id))
-      }
-      (cooc ++ rels).toSeq
-    }
+    val df = extracted.toDF()
+    // co-occurrence: ordered pairwise combinations i<j of the chunk's
+    // processed node ids, generated inside one array expression (slice is
+    // 1-based; index i is 0-based, so "after i" starts at i+2). `ids` is
+    // materialized in its own projection FIRST — higher-order array
+    // functions are interpreted without common-subexpression elimination,
+    // so referencing the expression inline would re-run the regex
+    // normalization once per lambda site per element.
+    val withIds = df.select($"chunk_id",
+      filter(
+        transform($"nodes", n => Normalize.processIdCol(n.getField("id"))),
+        x => x =!= "").as("ids"))
+    val pairCol = flatten(transform($"ids", (x, i) =>
+      transform(slice($"ids", i + lit(2), size($"ids")),
+        y => struct(x.as("s"), y.as("o")))))
+    val cooc = withIds.select($"chunk_id", explode(pairCol).as("p"))
+      .select($"p.s".as("subj"), lit(CoOccurrencePred).as("pred"),
+        $"p.o".as("obj"), $"chunk_id")
+    val rels = df.select($"chunk_id", explode($"rels").as("r"))
+      .select(
+        Normalize.processIdCol($"r.source").as("subj"),
+        $"r.relation_type".as("pred"),
+        Normalize.processIdCol($"r.target").as("obj"),
+        $"chunk_id")
+      .where($"subj" =!= "" && $"obj" =!= "")
+    cooc.unionByName(rels).as[Triple]
   }
 
   /** `relation_type` of the implicit same-chunk edges (`workers.py:341`). */

@@ -67,6 +67,32 @@ object Resolution {
     Array.fill(p.bands * p.bits)(Array.fill(p.dim)(rng.nextGaussian().toFloat))
   }
 
+  /** Signature rows (entity_id, band, sig) — exposed for plan debugging. */
+  def debugSigs(embeddings: DataFrame, p: Params): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = spark.sparkContext.broadcast(hyperplanes(p))
+    val bands = p.bands
+    val bits = p.bits
+    embeddings
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val h = planes.value
+        it.flatMap { case (id, v) =>
+          (0 until bands).iterator.map { b =>
+            var sig = 0
+            var j = 0
+            while (j < bits) {
+              if (graft.extract.VectorOps.dot(h(b * bits + j), v) >= 0) sig |= (1 << j)
+              j += 1
+            }
+            (id, b, sig)
+          }
+        }
+      }
+      .toDF("entity_id", "band", "sig")
+  }
+
   /** Candidate pairs (src, dst, cos) with cos ≥ threshold − 1e-6 (the
     * reference's epsilon, `get_topk_closest.gsql:9`), ranked top-(k−1)
     * non-self neighbors per src. Both directions are emitted (the reference
@@ -118,9 +144,8 @@ object Resolution {
           .join(embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b")), "dst")
       }
 
-    val cosUdf = udf((a: Array[Float], b: Array[Float]) => VectorOps.cosine(a, b))
     val scored = pairs
-      .withColumn("cos", cosUdf($"emb_a", $"emb_b"))
+      .withColumn("cos", graft.operators.Similarity.cosineFast($"emb_a", $"emb_b"))
       .where($"cos" >= lit(p.cosineThreshold - 1e-6))
       .select($"src", $"dst", $"cos")
 
@@ -133,26 +158,121 @@ object Resolution {
       .drop("rank")
   }
 
-  /** Connected components via min-label propagation with per-iteration
-    * localCheckpoint (lineage truncation, SURVEY.md §4.2). Input: directed
-    * pair rows (src, dst); treated as undirected. Output: (entity_id,
-    * component_id = min entity_id in component).
+  /** Connected components, two-level (SURVEY.md §4.2 + bench profiling):
+    *
+    *   1. hash-partition the (symmetrized) edges by src and run union-find
+    *      LOCALLY per partition — one narrow pass contracts every
+    *      within-partition path to its min-id label;
+    *   2. the residual label-equivalence graph (one edge per node that
+    *      received different labels from different partitions) is orders of
+    *      magnitude smaller; solve it with driver union-find when it fits
+    *      (`localFinishEdges` bound), else with the distributed min-label
+    *      loop ([[minLabelLoop]], localCheckpoint per iteration).
+    *
+    * The per-iteration loop over the FULL graph — a job per hop — was pure
+    * scheduling latency on blocked candidate graphs (alias clusters are tiny
+    * cliques); contraction turns 10+ jobs into 2-3. At 10^12-doc scale the
+    * same structure holds: phase 1 is one shuffle, and the label graph is
+    * bounded by the number of partition-boundary nodes, not by edges.
+    *
+    * Output: (entity_id, component_id = min entity_id in component).
     */
-  def connectedComponents(allIds: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(allIds: DataFrame, pairs: DataFrame, maxIter: Int = 25,
+      localFinishEdges: Long = 5000000L): DataFrame = {
     val spark = allIds.sparkSession
     import spark.implicits._
 
-    val edges = pairs.select($"src", $"dst")
+    val sym = pairs.select($"src", $"dst")
       .unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .dropDuplicates("src", "dst")
+      .where($"src" =!= $"dst")
+
+    // phase 1: local union-find per partition (min-id roots)
+    val partial = sym.repartition($"src").as[(String, String)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        def union(a: String, b: String): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            parent.getOrElseUpdate(ra, ra); parent.getOrElseUpdate(rb, rb)
+          } else parent.getOrElseUpdate(ra, ra)
+        }
+        it.foreach { case (a, b) => union(a, b) }
+        parent.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("id", "label")
       .localCheckpoint(true)
 
+    // label equivalences: a node seen by k partitions links its k labels
+    val nodeLabels = partial.groupBy($"id")
+      .agg(min($"label").as("minl"), collect_set($"label").as("ls"))
+      .localCheckpoint(true)
+    val eqEdges = nodeLabels
+      .select($"minl".as("dst"), explode($"ls").as("src"))
+      .where($"src" =!= $"dst")
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    val nEq = eqEdges.count()
+
+    // resolve label -> component root
+    val labelRoots: DataFrame =
+      if (nEq == 0) {
+        spark.emptyDataset[(String, String)].toDF("label", "root")
+      } else if (nEq <= localFinishEdges) {
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        eqEdges.as[(String, String)].collect().foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(l => (l, find(l))).toSeq.toDF("label", "root")
+      } else {
+        val labelIds = eqEdges.select($"src".as("entity_id"))
+          .unionByName(eqEdges.select($"dst".as("entity_id"))).distinct()
+        minLabelLoop(labelIds, eqEdges, maxIter)
+          .toDF("label", "root")
+      }
+
+    val resolvedNodes = nodeLabels
+      .join(labelRoots.withColumnRenamed("label", "minl"), Seq("minl"), "left")
+      .select($"id".as("entity_id"),
+        coalesce($"root", $"minl").as("component_id"))
+
+    // isolated ids resolve to themselves
+    allIds.select($"entity_id")
+      .join(resolvedNodes, Seq("entity_id"), "left")
+      .select($"entity_id", coalesce($"component_id", $"entity_id").as("component_id"))
+  }
+
+  /** Distributed min-label propagation (the classic loop), localCheckpoint
+    * per iteration to truncate lineage. Used on the contracted label graph
+    * when it exceeds the driver bound, and directly testable.
+    */
+  def minLabelLoop(allIds: DataFrame, edges0: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = allIds.sparkSession
+    import spark.implicits._
+    val edges = edges0.select($"src", $"dst")
+      .unionByName(edges0.select($"dst".as("src"), $"src".as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
     var labels = allIds.select($"entity_id", $"entity_id".as("component_id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, min neighbor label)
       val neighborMin = edges
         .join(labels.withColumnRenamed("entity_id", "dst"), "dst")
         .groupBy($"src".as("entity_id"))

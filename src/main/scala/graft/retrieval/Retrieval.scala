@@ -44,7 +44,7 @@ object Retrieval {
       topK: Int): DataFrame = {
     val q = lit(queryVec)
     withEmbeddings
-      .withColumn("similarity", Similarity.cosineUdf(col("embedding"), q))
+      .withColumn("similarity", Similarity.cosineFast(col("embedding"), q))
       .orderBy(col("similarity").desc, col("id"))
       .limit(topK)
       .select(col("id"), round(col("similarity"), 6).as("similarity"), col("content"))

@@ -9,6 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class NormalizeSpec extends AnyFunSuite {
 
+  test("processIdCol is bit-identical to processId over generated inputs") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(99)
+    val alphabet = "abXY Z/%()'\"_.-0"
+    val cases = Seq("", "''", "\"\"", "a(b)c", "x (y(z)", "A/B% (C)", "(", ")", "((",
+      "no specials", "Tail(", "(lead") ++
+      (0 until 500).map(_ => (0 until rng.nextInt(12)).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    val out = cases.toDF("raw")
+      .select(col("raw"), graft.functions.Normalize.processIdCol(col("raw")).as("c"))
+      .collect()
+    out.foreach { r =>
+      val raw = r.getString(0)
+      assert(r.getString(1) == Normalize.processId(raw),
+        s"mismatch for <$raw>: col=${r.getString(1)} fn=${Normalize.processId(raw)}")
+    }
+  }
+
+
   test("processId basic replacement chain") {
     assert(Normalize.processId("Jumping Jacks") == "jumping_jacks")
     assert(Normalize.processId("A/B%") == "abpercent")
