@@ -25,6 +25,7 @@ object Bench {
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -51,9 +52,9 @@ object Bench {
     // scaling efficiency is meaningless when wall time is job-scheduling
     // overhead (Amdahl at toy scale)
     val pages =
-      if (sfDir.contains("0.001")) 500
-      else if (sfDir.contains("0.01")) 4000
-      else 40000
+      if (sfDir.contains("0.001")) 2000
+      else if (sfDir.contains("0.01")) 20000
+      else 150000
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
 
     // warm JIT/classloading so the low-parallelism run isn't penalized

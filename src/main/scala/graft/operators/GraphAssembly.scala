@@ -68,23 +68,34 @@ object GraphAssembly {
   private def entityOccurrences(extracted: Dataset[ExtractedGraphDoc]): DataFrame = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    val df = extracted.toDF()
-    val fromNodes = df.select(explode($"nodes").as("n"))
-      .select(
-        Normalize.processIdCol($"n.id").as("entity_id"),
-        when($"n.description" === "", $"n.id").otherwise($"n.description").as("description"),
-        Normalize.processIdCol($"n.node_type").as("entity_type"))
-      .where($"entity_id" =!= "")
-    val rels = df.select(explode($"rels").as("r"))
-      .select(
-        Normalize.processIdCol($"r.source").as("s"),
-        Normalize.processIdCol($"r.target").as("t"),
-        $"r.description".as("description"))
-      .where($"s" =!= "")
-    val fromSrc = rels.select($"s".as("entity_id"), $"description", lit("").as("entity_type"))
-    val fromTgt = rels.where($"t" =!= "")
-      .select($"t".as("entity_id"), $"description", lit("").as("entity_type"))
-    fromNodes.unionByName(fromSrc).unionByName(fromTgt)
+    // ONE scan: per row, build the occurrence array from nodes and rels in
+    // array expressions, then a single explode. (A union of three exploded
+    // branches re-read the extraction table three times — at bench scale the
+    // extra scans dominated the stage.) The normalized rel endpoints are
+    // materialized in their own projection first: higher-order lambdas get
+    // no CSE, so inlining processIdCol would run the regexes per use-site.
+    val prepped = extracted.toDF().select(
+      filter(
+        transform($"nodes", n => struct(
+          Normalize.processIdCol(n.getField("id")).as("entity_id"),
+          when(n.getField("description") === "", n.getField("id"))
+            .otherwise(n.getField("description")).as("description"),
+          Normalize.processIdCol(n.getField("node_type")).as("entity_type"))),
+        o => o.getField("entity_id") =!= "").as("nocc"),
+      transform($"rels", r => struct(
+        Normalize.processIdCol(r.getField("source")).as("s"),
+        Normalize.processIdCol(r.getField("target")).as("t"),
+        r.getField("description").as("d"))).as("rr"))
+    val occ = concat(
+      $"nocc",
+      transform(filter($"rr", r => r.getField("s") =!= ""),
+        r => struct(r.getField("s").as("entity_id"), r.getField("d").as("description"),
+          lit("").as("entity_type"))),
+      transform(filter($"rr", r => r.getField("s") =!= "" && r.getField("t") =!= ""),
+        r => struct(r.getField("t").as("entity_id"), r.getField("d").as("description"),
+          lit("").as("entity_type"))))
+    prepped.select(explode(occ).as("o"))
+      .select($"o.entity_id", $"o.description", $"o.entity_type")
   }
 
   /** Entities with set-merged descriptions — the order-independent grouped
@@ -101,19 +112,27 @@ object GraphAssembly {
     * (triples, mentions) do NOT need this: their partial aggregation leaves
     * at most one row per partition per key, bounded by partition count.
     */
-  def entities(extracted: Dataset[ExtractedGraphDoc], nSalts: Int = 64): Dataset[Entity] = {
+  def entities(extracted: Dataset[ExtractedGraphDoc]): Dataset[Entity] = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    entityOccurrences(extracted)
-      .withColumn("__salt", Skew.saltCol($"description", nSalts))
-      .groupBy($"entity_id", $"__salt")
-      .agg(
-        collect_set($"description").as("d_part"),
-        min(when($"entity_type" =!= "", $"entity_type")).as("t_part"))
+    val occ = entityOccurrences(extracted)
+    // dedup-first: (entity, description) distinct is a CODEGEN hash
+    // aggregate whose partials bound any hot key per partition; only the
+    // deduped pairs (tiny) reach the object-typed collect_list. Going
+    // straight to collect_set would put the full occurrence stream through
+    // ObjectHashAggregate, which falls back to SORT-based aggregation at
+    // 128 distinct keys per task — at bench scale that sorted 58M rows.
+    // (`Skew.saltedCollectSet` remains for set-aggregates whose DISTINCT
+    // value count per key is itself web-hot.)
+    val descs = occ.select($"entity_id", $"description").distinct()
       .groupBy($"entity_id")
-      .agg(
-        sort_array(array_distinct(flatten(collect_list($"d_part")))).as("descriptions"),
-        coalesce(min($"t_part"), lit("")).as("entity_type"))
+      .agg(sort_array(collect_list($"description")).as("descriptions"))
+    val types = occ.where($"entity_type" =!= "")
+      .groupBy($"entity_id")
+      .agg(min($"entity_type").as("entity_type"))
+    descs.join(types, Seq("entity_id"), "left")
+      .select($"entity_id", $"descriptions",
+        coalesce($"entity_type", lit("")).as("entity_type"))
       .as[Entity]
   }
 

@@ -30,6 +30,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
       .appName("graft-kg-pipeline")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

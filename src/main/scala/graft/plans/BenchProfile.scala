@@ -20,6 +20,7 @@ object BenchProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
