@@ -169,6 +169,17 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))),
 
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Events.sessionize(t(s, d, "events"), gapSeconds = 1800)),
+
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("total"))),
+
     "q_json_extract" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -502,6 +513,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
           count(*) AS cnt, round(sum(value), 2) AS sum_value
         FROM events GROUP BY hour_start, event_type""",
+
+    "q_sessionize" ->
+      """WITH marked AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM marked)
+        SELECT user_id, session_idx, count(*) AS n_events,
+          min(ts) AS session_start, max(ts) AS session_end,
+          round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_idx""",
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
 
     "q_json_extract" ->
       """SELECT event_type,

@@ -71,6 +71,33 @@ object Concepts {
     (concepts, heads.unionByName(tails).distinct())
   }
 
+  /** Q8 `Build_Community_Concepts`
+    * (`concept_creation/Build_Community_Concepts.gsql:1-47`): connected
+    * components over a chosen vertex/edge set by min-id label propagation
+    * (the reference's `WHILE S.size()>0 … t.@min_cc_id += s.@min_cc_id`
+    * loop IS our CC primitive, with the deterministic min entity id in
+    * place of the load-order `getvid`); components with size in
+    * [minSize, maxSize] become `InCommunity<compId>` COMMUNITY_LEAF
+    * concepts with DESCRIBES_ENTITY membership.
+    */
+  def buildCommunityConcepts(nodes: DataFrame, edges: DataFrame,
+      minSize: Long = 2, maxSize: Long = 100): (DataFrame, DataFrame) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val comps = graft.resolve.Resolution.connectedComponents(
+      nodes.select(col(nodes.columns.head).as("entity_id")), edges)
+    val sized = comps.groupBy($"component_id")
+      .agg(count(lit(1)).as("sz"))
+      .where($"sz".between(minSize, maxSize))
+      .select($"component_id")
+    val members = comps.join(sized, "component_id")
+      .select(concat(lit("InCommunity"), $"component_id").as("concept_id"),
+        $"entity_id")
+    val concepts = members.select($"concept_id").distinct()
+      .withColumn("concept_type", lit("COMMUNITY_LEAF"))
+    (concepts, members)
+  }
+
   /** Seed RELATIONSHIP_LEAF concepts: one per relation type — the curation
     * flow's usual starting ontology (a concept covering every relationship
     * of that type).

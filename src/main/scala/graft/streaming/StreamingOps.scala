@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators — the Structured Streaming surface the
+  * reference lacks (its "streaming" is asyncio micro-batching with no event
+  * time, SURVEY.md §1.4) but a continuous crawl-ingest pipeline needs:
+  * watermarked windowed aggregation and custom keyed state for cross-batch
+  * exactly-once dedup. Both transformations run unchanged on batch frames
+  * (minus the watermark effect), which is how the specs pin semantics.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window counts per key column: late rows beyond
+    * `lateness` are dropped, windows finalize (append-mode emittable) once
+    * the watermark passes their end.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"), col("sum_value"))
+
+  final case class Seen(firstSeen: Long)
+  final case class DedupIn(digest: String, doc_id: String, ts: Timestamp)
+  final case class DedupOut(digest: String, doc_id: String, first: Boolean)
+
+  /** Cross-batch exactly-once content dedup with custom keyed state
+    * (flatMapGroupsWithState): the FIRST document per content digest is
+    * emitted, later arrivals are swallowed; state expires
+    * `stateTtlMs` after the watermark passes (bounding state for a
+    * 10^12-doc stream — a digest that hasn't re-appeared within the TTL is
+    * forgotten, the cost being that a duplicate arriving later re-emits).
+    */
+  def dedupByDigest(docs: Dataset[DedupIn], stateTtlMs: Long = 24 * 3600 * 1000L)
+      : Dataset[DedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Seen, DedupOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (digest: String, rows: Iterator[DedupIn], state: GroupState[Seen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val first = !state.exists
+            if (first) {
+              state.update(Seen(System.currentTimeMillis()))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            }
+            // emit only the first-ever row for this digest
+            if (first) rows.take(1).map(r => DedupOut(digest, r.doc_id, first = true))
+            else Iterator.empty
+          }
+      }
+  }
+}

@@ -41,4 +41,15 @@ class ConceptsSpec extends AnyFunSuite {
     assert(d(("EntitiesAreTailOfrel_type_founded", "y")))
     assert(!d.exists { case (c, e) => c.endsWith("founded") && e == "b" })
   }
+
+  test("buildCommunityConcepts keeps size-bounded components as concepts") {
+    val nodes = Seq("a", "b", "c", "d", "e", "solo").toDF("entity_id")
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+    val (concepts, members) =
+      Concepts.buildCommunityConcepts(nodes, edges, minSize = 2, maxSize = 2)
+    // {a,b,c} size 3 excluded; {d,e} size 2 kept; {solo} size 1 excluded
+    assert(concepts.select("concept_id").as[String].collect().toSeq == Seq("InCommunityd"))
+    assert(members.as[(String, String)].collect().toSet ==
+      Set(("InCommunityd", "d"), ("InCommunityd", "e")))
+  }
 }
