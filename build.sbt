@@ -26,11 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // the target box is local[32] with 128 GiB (builder env spec); 8g starves
-  // 32 concurrent tasks into GC collapse at bench scale. Xms pinned to Xmx:
-  // incremental heap growth on a 24g heap showed up as kernel-time page
-  // fault storms with 3-6x run-to-run variance
+)
+// Bench/CLI mains (run scope): the target box is local[32] with 128 GiB
+// (builder env spec); 8g starves 32 concurrent tasks into GC collapse at
+// bench scale. Xms pinned to Xmx + AlwaysPreTouch: incremental heap growth
+// on a 24g heap showed up as kernel-time page fault storms with 3-6x
+// run-to-run variance. Override with SPARK_DRIVER_MEM for smaller hosts.
+run / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
+)
+// Tests run small corpora — a modest heap keeps `sbt test` viable on dev
+// machines without 24 GiB free (no eager pre-touch commit).
+Test / javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run Verify output vs
 DuckDB oracles over the same parquet tables. Usage:
-  python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+  python3 scripts/check_oracles.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, os, json, glob
 import duckdb
@@ -18,8 +18,9 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(df):
+    # NO float rounding here: the driver compares exact hashed values, so the
+    # local gate must be at least as strict (it was laxer in r1)
     df = df.reindex(sorted(df.columns), axis=1)
-    # round floats to kill representation jitter in the comparison itself
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -51,7 +52,8 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
     except Exception as e:
         vals_ok = False
         err = str(e).split("\n")[0:4]
-    status = "OK" if (schema_ok and rows_ok and vals_ok) else "FAIL"
+    # dtypes_ok participates: the driver compares schemas too
+    status = "OK" if (schema_ok and dtypes_ok and rows_ok and vals_ok) else "FAIL"
     extra = ""
     if not schema_ok:
         extra += f" cols spark={list(a.columns)} duck={list(b.columns)}"

@@ -98,9 +98,13 @@ object SparkEntry {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          // decimal accumulation everywhere a float column is summed: double
+          // sums are partition-order-dependent and can flip a rounding
+          // boundary vs the row-order DuckDB oracle (the q_sessionize r1 bug)
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").as("sum_price"),
+          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("avg_disc"),
           count(lit(1)).as("cnt"))
     }),
 
@@ -111,7 +115,8 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,8)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("cnt"))
     }),
 
@@ -162,12 +167,14 @@ object SparkEntry {
       t(s, d, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mo"))
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))),
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"))),
 
     "q_event_windows" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))),
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))),
 
     "q_sessionize" -> ((s, d) =>
       graft.operators.Events.sessionize(t(s, d, "events"), gapSeconds = 1800)),
@@ -175,7 +182,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) =>
       t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("cnt"), col("total"))),
@@ -243,8 +251,12 @@ object SparkEntry {
       Dedup.exactGroups(doc, "pfx").where(col("cnt") > 1)
     }),
 
+    // maxHamming=3 is the Manku/Jain/Sarma WWW'07 web-dedup operating point;
+    // r1's maxHamming=12 degenerated the pigeonhole blocking (4-bit chunks →
+    // near-quadratic candidate join, 59.6s of the bench) and is now rejected
+    // by simhashPairs itself
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 12)),
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"),
@@ -274,6 +286,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // recall gate: IVF top-k vs exact brute-force top-k, one row. The IVF
+    // result itself is pivot-dependent (not SQL-expressible), so the oracle
+    // pins the INVARIANT — every query keeps recall@5 ≥ 0.9 — as a constant
+    // row that hash-mismatches the moment recall degrades.
+    "q_ann_ivf_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val perQuery = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      perQuery.agg(
+        count(lit(1)).cast("long").as("n_queries"),
+        (sum(col("hits")).cast("double") / (count(lit(1)) * 5) >= 0.9).as("recall_ok"))
+    }),
+
     // ---- multimodal plumbing (decode stubbed; rows-only) ----
 
     "q_media_features" -> ((s, d) => {
@@ -294,6 +324,23 @@ object SparkEntry {
         .toDF("media_id", "frame_idx", "frame_ts_ms", "n_frame_bytes")
     }),
 
+    // digest gate over the deterministic synth media corpus (pinned n=300,
+    // independent of sfDir): per-modality counts + exact byte/feature sums.
+    // The decode path is synthetic but the whole Spark surface (schema,
+    // mapPartitions batching, metadata-gated decode) is exercised; the
+    // constant oracle row pins its output bit-for-bit.
+    "q_media_gate" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal.synth(s, 300)
+      val feats = graft.operators.Multimodal.extractFeatures(media, dim = 64)
+        .map(f => (f.modality, f.n_bytes,
+          BigDecimal(f.features.map(_.toDouble).sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
+        .toDF("modality", "n_bytes", "feature_sum")
+      feats.groupBy(col("modality"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_bytes")).as("total_bytes"),
+          sum(col("feature_sum").cast("decimal(18,3)")).cast("double").as("sum_features"))
+    }),
+
     // ---- KG construction stages (rows-only; golden-checked in specs) ----
 
     "kg_pages" -> ((s, d) => {
@@ -307,7 +354,12 @@ object SparkEntry {
 
     "kg_triples_raw" -> ((s, d) => kg(s, d).triples.toDF()),
 
-    "kg_entities" -> ((s, d) => kg(s, d).entities.toDF()),
+    // descriptions flattened to one string: the driver's pandas compare
+    // cannot sort/hash array columns (r1 harness error). Order inside is
+    // already deterministic (sort_array in GraphAssembly.entities).
+    "kg_entities" -> ((s, d) => kg(s, d).entities.toDF()
+      .select(col("entity_id"), concat_ws(" | ", col("descriptions")).as("descriptions"),
+        col("entity_type"))),
 
     "kg_mentions" -> ((s, d) =>
       GraphAssembly.mentions(kg(s, d).extracted).toDF()),
@@ -398,12 +450,30 @@ object SparkEntry {
 
     "kg_modularity" -> ((s, d) => {
       import s.implicits._
+      // rounded to 4dp: Q is a double sum over per-community terms whose
+      // partition order varies — last-bit jitter must not flip the oracle
       kg(s, d).louvain.modularities.zipWithIndex
-        .map { case (q, i) => ((i + 1).toLong, q) }
+        .map { case (q, i) => ((i + 1).toLong, math.rint(q * 1e4) / 1e4) }
         .toDF("iteration", "modularity")
     }),
 
-    "kg_eval" -> ((s, d) => kgEval(s, kgConfig(d)))
+    "kg_eval" -> ((s, d) => kgEval(s, kgConfig(d))),
+
+    // one-row digest of every KG stage's cardinality over the PINNED
+    // sf0.01-tier corpus (1500 pages — independent of sfDir, so the constant
+    // oracle row stays valid wherever Verify runs). Catches silent row-loss
+    // or -inflation in any stage the moment it happens.
+    "kg_gate" -> ((s, d) => {
+      import s.implicits._
+      val st = KgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      val louv = st.louvain
+      Seq((st.chunks.count(), st.entities.count(),
+          operators.GraphAssembly.mentions(st.extracted).count(),
+          st.triples.count(), st.resolvesTo.count(), st.resolvedTriples.count(),
+          louv.levels.head.communities.count(), louv.levels.size.toLong))
+        .toDF("n_chunks", "n_entities", "n_mentions", "n_triples_raw",
+          "n_resolves_to", "n_resolved_triples", "n_l1_communities", "n_levels")
+    })
   )
 
   /** P/R of emitted canonical triples vs planted golden triples, and of
@@ -455,15 +525,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = ListMap(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-          round(sum(l_quantity), 2) AS sum_qty,
-          round(sum(l_extendedprice), 2) AS sum_price,
-          round(avg(l_discount), 6) AS avg_disc,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+          round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
           count(*) AS cnt
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
     "q_multi_join_revenue" ->
       """SELECT r_name, n_name,
-          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))), 2)
+               AS DOUBLE) AS revenue,
           count(*) AS cnt
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -506,12 +577,14 @@ object SparkEntry {
 
     "q_date_agg" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-          count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+          count(*) AS cnt,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders GROUP BY yr, mo""",
 
     "q_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-          count(*) AS cnt, round(sum(value), 2) AS sum_value
+          count(*) AS cnt,
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         FROM events GROUP BY hour_start, event_type""",
 
     "q_sessionize" ->
@@ -527,15 +600,16 @@ object SparkEntry {
             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_idx
           FROM marked)
-        SELECT user_id, session_idx, count(*) AS n_events,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
           min(ts) AS session_start, max(ts) AS session_end,
-          round(sum(value), 2) AS sum_value
+          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
         FROM sess GROUP BY user_id, session_idx""",
 
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
           coalesce(o_orderpriority, 'ALL') AS priority,
-          count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+          count(*) AS cnt,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
 
     "q_json_extract" ->
@@ -614,6 +688,121 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS cnt, min(doc_id) AS keep_id
         FROM documents GROUP BY md5(text)""",
+
+    // Exact 60-bit SimHash recomputation: the token hash is DEFINED as
+    // little-endian(first 8 md5 bytes) >> 4 precisely so DuckDB's
+    // md5_number_upper reproduces it bit-for-bit; the O(N²) pair scan is the
+    // exact answer the blocked Spark plan must match (pigeonhole blocking is
+    // lossless below the bucket cap).
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents),
+        th AS (SELECT doc_id, CAST(md5_number_upper(tok) >> 4 AS BIGINT) AS h FROM toks),
+        bits AS (
+          SELECT doc_id, b,
+            sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+          FROM th, generate_series(0, 59) t(b)
+          GROUP BY doc_id, b),
+        sigs AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS sig
+          FROM bits GROUP BY doc_id)
+        SELECT CAST(x.doc_id AS VARCHAR) AS a, CAST(y.doc_id AS VARCHAR) AS b,
+          CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+        FROM sigs x JOIN sigs y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
+        WHERE bit_count(xor(x.sig, y.sig)) <= 3""",
+
+    // Exact word-3-shingle Jaccard over all pairs — the answer MinHash+LSH
+    // banding must reproduce at this threshold (its exact-verify stage
+    // guarantees precision; this oracle additionally pins recall).
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, chr(1))]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2])) END AS s
+          FROM toks)
+        SELECT a, b, jaccard FROM (
+          SELECT CAST(x.doc_id AS VARCHAR) AS a, CAST(y.doc_id AS VARCHAR) AS b,
+            round(len(list_intersect(x.s, y.s))::DOUBLE
+                  / len(list_distinct(x.s || y.s)), 6) AS jaccard
+          FROM sh x JOIN sh y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
+          WHERE len(x.s) > 0 AND len(y.s) > 0)
+        WHERE jaccard >= 0.3""",
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, chr(1))]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2])) END AS s
+          FROM toks)
+        SELECT a, b, jaccard FROM (
+          SELECT CAST(x.doc_id AS VARCHAR) AS a, CAST(y.doc_id AS VARCHAR) AS b,
+            round(len(list_intersect(x.s, y.s))::DOUBLE
+                  / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+          FROM sh x JOIN sh y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
+          WHERE len(x.s) > 0 AND len(y.s) > 0)
+        WHERE jaccard >= 0.3""",
+
+    // FNV-1a 64-bit over the case/whitespace-normalized char stream,
+    // recomputed exactly in DuckDB via a HUGEINT fold mod 2^64.
+    "q_fingerprint" ->
+      """WITH norm AS (
+          SELECT doc_id,
+            array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              x -> x <> ''), ' ') AS s
+          FROM documents),
+        fp AS (
+          SELECT doc_id, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(s) + 1),
+                i -> unicode(substr(s, i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM norm)
+        SELECT doc_id,
+          CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+               AS BIGINT) AS fp64
+        FROM fp""",
+
+    "q_lang_id" ->
+      """WITH toks AS (
+          SELECT doc_id, lang,
+            list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+              x -> x <> '')) AS tk
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang, list_max([
+            {'hits': len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])), 'lang': 'de'},
+            {'hits': len(list_intersect(tk, ['the','and','of','to','is','in','that','it','was','for'])), 'lang': 'en'},
+            {'hits': len(list_intersect(tk, ['el','la','los','las','es','en','que','por','una','para'])), 'lang': 'es'},
+            {'hits': len(list_intersect(tk, ['le','la','les','est','et','dans','que','pour','une','sur'])), 'lang': 'fr'}
+          ]) AS best
+          FROM toks)
+        SELECT doc_id, lang,
+          CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        FROM scored""",
+
+    // gate rows: the invariant is pinned as a constant — the Spark side
+    // computes the recall/digest and the hash compare fails the moment the
+    // computed row deviates (see the matching queries for rationale)
+    "q_ann_ivf_recall" ->
+      """SELECT 10::BIGINT AS n_queries, true AS recall_ok""",
 
     "q_dedup_prefix" ->
       """SELECT md5(substr(text, 1, 50)) AS fingerprint, count(*) AS cnt,

@@ -63,15 +63,23 @@ object HtmlText extends Serializable {
   private def lowerAhead(s: String, i: Int, k: Int): String =
     s.substring(i, math.min(s.length, i + k)).toLowerCase
 
-  /** Skip from the element open tag past its matching close tag. */
+  /** Skip from the element open tag past its matching close tag.
+    * Case-insensitive scan via regionMatches — the earlier `s.toLowerCase`
+    * allocated a full copy of the document per script/style occurrence,
+    * O(n²) on script-heavy real-web pages.
+    */
   private def skipElement(s: String, i: Int, closePrefix: String): Int = {
-    val lower = s.toLowerCase
-    val close = lower.indexOf(closePrefix, i)
-    if (close < 0) s.length
-    else {
-      val gt = s.indexOf('>', close)
-      if (gt < 0) s.length else gt + 1
+    val n = s.length
+    val m = closePrefix.length
+    var j = i
+    while (j <= n - m) {
+      if (s.regionMatches(true, j, closePrefix, 0, m)) {
+        val gt = s.indexOf('>', j)
+        return if (gt < 0) n else gt + 1
+      }
+      j += 1
     }
+    n
   }
 
   private val BlockTags =

@@ -59,19 +59,43 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: numPerm permutations via the (a*x+b) mod p trick. */
-  def minhashSig(sh: Array[Int], numPerm: Int, seed: Int): Array[Long] = {
-    val P = 2305843009213693951L // 2^61 - 1
+  /** Per-permutation salt constants for [[minhashSig]] — a pure function of
+    * (numPerm, seed), computed ONCE (driver side, shipped in the closure),
+    * never per row (r1 reallocated them per document).
+    */
+  def minhashSeeds(numPerm: Int, seed: Int): Array[Long] = {
     val rng = new scala.util.Random(seed)
-    val as = Array.fill(numPerm)(1L + (math.abs(rng.nextLong()) % (P - 1)))
-    val bs = Array.fill(numPerm)(math.abs(rng.nextLong()) % P)
+    Array.fill(numPerm)(rng.nextLong())
+  }
+
+  /** splitmix64 finalizer — a bijective 64-bit mixer. Salted with a per-
+    * permutation constant it behaves as an independent random permutation of
+    * the shingle universe, which is exactly the min-wise-independence MinHash
+    * needs. (r1 used (a·x+b) mod 2^61−1 with a < 2^30 over 32-bit inputs:
+    * barely one modular wrap, so the "permutation" was order-preserving
+    * almost everywhere and slot-agreement collapsed — measured 24/128
+    * agreeing slots on a jaccard-0.97 pair, i.e. the LSH S-curve did not
+    * hold at all. With this mixer agreement ≈ jaccard as theory demands.)
+    */
+  @inline private def mix64(x0: Long): Long = {
+    var z = x0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: per permutation k, min over shingles of
+    * mix64(x + salt_k), kept in the non-negative range for stable compares.
+    */
+  def minhashSig(sh: Array[Int], salts: Array[Long]): Array[Long] = {
+    val numPerm = salts.length
     val sig = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
       val x = sh(i) & 0xffffffffL
       var k = 0
       while (k < numPerm) {
-        val v = (as(k) * x + bs(k)) % P
+        val v = mix64(x + salts(k)) >>> 1
         if (v < sig(k)) sig(k) = v
         k += 1
       }
@@ -79,6 +103,9 @@ object Dedup {
     }
     sig
   }
+
+  def minhashSig(sh: Array[Int], numPerm: Int, seed: Int): Array[Long] =
+    minhashSig(sh, minhashSeeds(numPerm, seed))
 
   final case class MinHashParams(
       shingleW: Int = 3,
@@ -104,37 +131,52 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = p.shingleW; val nPerm = p.numPerm; val bands = p.bands
-    val rpb = p.rowsPerBand; val seed = p.seed
+    val w = p.shingleW; val bands = p.bands
+    val rpb = p.rowsPerBand
+    val salts = minhashSeeds(p.numPerm, p.seed) // once, driver-side
 
-    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("t"))
+    val base = df.select(col(idCol).cast("string").as("id"), col(textCol).as("t"))
       .as[(String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val sh = shingles(text, w)
-          (id, sh, minhashSig(sh, nPerm, seed))
+
+    // band rows carry ONLY (id, band, band_sig) — the full shingle arrays
+    // never enter the bucket shuffle (they rode through the band join and
+    // pair dedup in r1, multiplying shuffle bytes by the document size)
+    val bandRows = base.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val sig = minhashSig(shingles(text, w), salts)
+        (0 until bands).iterator.map { b =>
+          var h = MurmurHash3.arraySeed
+          var j = b * rpb
+          val end = j + rpb
+          while (j < end) { h = MurmurHash3.mix(h, (sig(j) ^ (sig(j) >>> 32)).toInt); j += 1 }
+          (id, b, MurmurHash3.finalizeHash(h, rpb))
         }
       }
-      .toDF("id", "shingles", "sig")
+    }.toDF("id", "band", "band_sig")
 
-    val banded = sigs.select(col("id"), col("shingles"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rpb + 1, $rpb)))"))
-          .as(Seq("band", "band_sig")))
-
-    val pruned = banded
+    val pruned = bandRows
       .withColumn("bn", count(lit(1)).over(Window.partitionBy($"band", $"band_sig")))
       .where($"bn" <= p.maxBucket)
 
-    val l = pruned.select($"band", $"band_sig", $"id".as("a"), $"shingles".as("sh_a"))
-    val r = pruned.select($"band", $"band_sig", $"id".as("b"), $"shingles".as("sh_b"))
+    val l = pruned.select($"band", $"band_sig", $"id".as("a"))
+    val r = pruned.select($"band", $"band_sig", $"id".as("b"))
     val cands = l.join(r, Seq("band", "band_sig"))
       .where($"a" < $"b")
-      .select($"a", $"b", $"sh_a", $"sh_b")
+      .select($"a", $"b")
       .dropDuplicates("a", "b")
 
+    // exact-Jaccard verify: re-derive the shingle sets (cheap murmur pass, no
+    // minhash) and join them to the deduped candidates only — AQE broadcasts
+    // the candidate side when small, so the shingle arrays never shuffle
+    val shingleSets = base.mapPartitions { it =>
+      it.map { case (id, text) => (id, shingles(text, w).distinct) }
+    }.toDF("id", "sh")
+
     cands
+      .join(shingleSets.select($"id".as("a"), $"sh".as("sh_a")), "a")
+      .join(shingleSets.select($"id".as("b"), $"sh".as("sh_b")), "b")
       .withColumn("jaccard", round(
-        size(array_intersect(array_distinct($"sh_a"), array_distinct($"sh_b"))).cast("double") /
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
           size(array_union($"sh_a", $"sh_b")), 6))
       .where($"jaccard" >= p.jaccardThreshold)
       .select($"a", $"b", $"jaccard")
@@ -142,47 +184,90 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over token murmur hashes (unit weights). */
-  def simhash64(text: String): Long = {
-    val counts = new Array[Int](64)
+  /** 60-bit token hash: little-endian long of the first 8 md5 bytes, logical
+    * shift right 4 — chosen so DuckDB reproduces it exactly as
+    * `md5_number_upper(tok) >> 4` (UBIGINT), making the whole SimHash
+    * pipeline oracle-checkable in plain SQL. 60 bits keeps every bit-op in
+    * the non-negative signed-64 domain on both engines.
+    */
+  def tokenHash60(md: java.security.MessageDigest, tok: String): Long = {
+    md.reset()
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h >>> 4
+  }
+
+  /** 60-bit SimHash over token md5 hashes, frequency-weighted (each token
+    * occurrence votes ±1 per bit). Returns None for token-less documents —
+    * empty docs have no content signature (exact dedup covers them) and
+    * keeping them out matches the SQL oracle, where a doc with no tokens
+    * produces no signature row.
+    */
+  def simhash60(md: java.security.MessageDigest, text: String): Option[Long] = {
+    val counts = new Array[Int](60)
     val toks = text.toLowerCase.split("\\s+")
+    var any = false
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {
-        val h = (MurmurHash3.stringHash(toks(i), 0x1234abcd).toLong << 32) |
-          (MurmurHash3.stringHash(toks(i), 0x9e3779b9) & 0xffffffffL)
+        any = true
+        val h = tokenHash60(md, toks(i))
         var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        while (b < 60) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
       }
       i += 1
     }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
-    sig
+    if (!any) None
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < 60) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      Some(sig)
+    }
   }
 
-  val simhashUdf = udf((s: String) => simhash64(s))
-
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming, blocked by the
-    * pigeonhole principle: split the 64-bit signature into maxHamming+1
+    * pigeonhole principle: split the 60-bit signature into maxHamming+1
     * chunks — any pair within distance k must agree on ≥1 chunk exactly, so
     * the self-join runs per (chunk index, chunk value) bucket only.
+    *
+    * The default maxHamming=3 is the web-dedup operating point (Manku,
+    * Jain & Sarma, WWW'07 use k=3 over 64-bit simhash for 8B pages): it
+    * keeps chunks 15 bits wide, so bucket value-space (32k per chunk index)
+    * stays far above any realistic duplicate-cluster size. Wide maxHamming
+    * (r1 ran 12 → 4-bit chunks → ~N/16 docs per bucket) degenerates the
+    * blocking to near-quadratic — that config cost 59.6s of the r1 bench and
+    * is now rejected. `maxBucket` additionally drops boilerplate floods
+    * (buckets whose size exceeds it) like the MinHash path does.
     */
-  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3, maxBucket: Int = 2000,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nChunks = maxHamming + 1
-    val bitsPer = 64 / nChunks
+    require(60 / nChunks >= 12,
+      s"maxHamming=$maxHamming leaves chunks under 12 bits — the pigeonhole " +
+        "blocking degenerates to a near-quadratic candidate join; use MinHash " +
+        "LSH for loose similarity thresholds instead")
+    val bitsPer = 60 / nChunks
 
-    val sigs = df.select(col(idCol).cast("string").as("id"),
-      simhashUdf(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("t"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) => simhash60(md, text).map(s => (id, s)) }
+      }
+      .toDF("id", "sig")
 
     val chunked = sigs.select($"id", $"sig",
       posexplode(expr(
-        s"transform(sequence(0, ${nChunks - 1}), c -> (sig >> (c * $bitsPer)) & ${(1L << bitsPer) - 1})"))
+        s"transform(sequence(0, ${nChunks - 1}), c -> (sig >> (c * $bitsPer)) & " +
+          s"${(1L << bitsPer) - 1})"))
         .as(Seq("chunk", "chunk_val")))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy($"chunk", $"chunk_val")))
+      .where($"bn" <= maxBucket)
 
     val l = chunked.select($"chunk", $"chunk_val", $"id".as("a"), $"sig".as("sig_a"))
     val r = chunked.select($"chunk", $"chunk_val", $"id".as("b"), $"sig".as("sig_b"))
@@ -251,12 +336,18 @@ object Dedup {
       maxBroadcastRows: Int = 200000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // one API, two regimes: beyond the exact-scan bound, route to sign-RP
+    // LSH blocking + exact verify (bounded recall, O(rows × bands) shuffle)
+    // instead of refusing — r1 threw here, turning a scale cliff into a
+    // hard failure in a benched query path. The bound is probed with a
+    // limit-count (stops scanning at the bound) BEFORE anything is collected.
+    val overBound =
+      embeddings.select(col(idCol)).limit(maxBroadcastRows + 1).count() > maxBroadcastRows
+    if (overBound)
+      return embeddingPairsLsh(embeddings, threshold, idCol, embCol)
     val rows = embeddings.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
     val all = rows.collect().sortBy(_._1)
-    require(all.length <= maxBroadcastRows,
-      s"${all.length} rows exceed the exact-scan bound $maxBroadcastRows; " +
-        "use LSH blocking (Resolution.candidatePairs) at this scale")
     val bc = spark.sparkContext.broadcast(all)
     val thr = threshold
     rows.mapPartitions { it =>
@@ -284,5 +375,26 @@ object Dedup {
       }
     }.toDF("a", "b", "cos")
       .select($"a", $"b", round($"cos", 6).as("cos"))
+  }
+
+  /** Scale path for [[embeddingPairs]]: sign-random-projection LSH blocking
+    * (graft.resolve.Resolution.candidatePairs) + exact cosine verify on
+    * candidates only. Recall is bounded by the band S-curve instead of exact,
+    * which is the correct trade beyond the broadcast bound — O(rows × bands)
+    * shuffle instead of an N² scan.
+    */
+  def embeddingPairsLsh(embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(col(embCol)).head.getSeq[Float](0).length
+    val p = graft.resolve.Resolution.Params(
+      dim = dim, cosineThreshold = threshold, topK = Int.MaxValue)
+    val named = embeddings.select(col(idCol).cast("string").as("entity_id"), col(embCol).as("embedding"))
+    graft.resolve.Resolution.candidatePairs(named, p)
+      .where($"src" < $"dst" && $"cos" >= threshold) // one direction of the sym pairs
+      .select(least($"src".cast("long"), $"dst".cast("long")).as("a"),
+        greatest($"src".cast("long"), $"dst".cast("long")).as("b"),
+        round($"cos", 6).as("cos"))
   }
 }

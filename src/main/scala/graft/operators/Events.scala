@@ -30,6 +30,9 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // decimal accumulation: double sums depend on partition order, so a
+        // parallel Spark sum vs a row-order oracle sum can flip a .005
+        // rounding boundary — exact decimal arithmetic is order-free
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
   }
 }

@@ -141,8 +141,14 @@ object Multimodal {
     * (verify with .explain: PushedFilters on width/height/modality).
     */
   def decodeImagesAbove(media: Dataset[MediaRow], minW: Int, minH: Int,
-      dim: Int = 64): Dataset[MediaFeatures] =
+      dim: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    // Column predicates, NOT a typed lambda filter: a typed filter would
+    // deserialize every row (payload included) before testing it, defeating
+    // the parquet row-group pruning this function exists to exercise.
     extractFeatures(
-      media.filter(m => m.modality == "image" && m.width >= minW && m.height >= minH),
+      media.where(col("modality") === "image" &&
+        col("width") >= minW && col("height") >= minH).as[MediaRow],
       dim)
+  }
 }

@@ -83,16 +83,27 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
-  final case class IvfParams(nPivots: Int = 32, nProbe: Int = 4, seed: Int = 42)
-
-  /** Deterministic pivots: the nPivots corpus vectors with the smallest ids.
-    * (K-means would be strictly better; id-sampling is deterministic, cheap,
-    * and adequate for hash-ish embedding distributions. Swap via `pivots`.)
+  /** @param nPivots 0 (default) = auto-size to ceil(√N) — the standard IVF
+    *                list count, keeping both the per-query probe cost and the
+    *                per-list scan at O(√N)
+    * @param nProbe  clusters each query probes (recall/latency dial)
     */
-  def defaultPivots(corpus: DataFrame, p: IvfParams,
+  final case class IvfParams(nPivots: Int = 0, nProbe: Int = 4, seed: Int = 42)
+
+  /** Deterministic uniform pivot sample: order by a salted hash of the id
+    * and take the first n. Unlike r1's smallest-n-ids pick this is a true
+    * uniform sample over the corpus (ids can correlate with insert order and
+    * therefore content), and unlike kmeans it is one cheap deterministic
+    * pass — TakeOrderedAndProject, no iteration. With ~√N pivots the
+    * expected cluster size is √N, so no join key concentrates the corpus
+    * (r1's fixed 32 pivots made cluster cardinality 32 ⇒ guaranteed hot
+    * keys at scale).
+    */
+  def sampledPivots(corpus: DataFrame, n: Int, seed: Int = 42,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    corpus.orderBy(col(idCol)).limit(p.nPivots)
-      .select(col(idCol).cast("long").as("pivot_id"), col(embCol).as("pivot_emb"))
+    corpus.select(col(idCol).cast("long").as("pivot_id"), col(embCol).as("pivot_emb"))
+      .orderBy(xxhash64(col("pivot_id"), lit(seed)), col("pivot_id"))
+      .limit(n)
 
   /** IVF-style approximate top-k: assign corpus vectors to their nearest
     * pivot (broadcast pivot table, argmax over an array expression — one
@@ -105,9 +116,14 @@ object Similarity {
       pivotsOverride: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val pivots = pivotsOverride.getOrElse(defaultPivots(corpus, p, idCol, embCol))
+    val pivots = pivotsOverride.getOrElse {
+      val n =
+        if (p.nPivots > 0) p.nPivots
+        else math.max(4, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+      sampledPivots(corpus, n, p.seed, idCol, embCol)
+    }
 
-    // pivot table is tiny by construction — broadcast the raw arrays and do
+    // pivot table is ~√N by construction — broadcast the raw arrays and do
     // the argmax in a primitive loop per row (a crossJoin + window would
     // shuffle rows x pivots and box every vector)
     val pivotArr = pivots.as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -123,7 +139,10 @@ object Similarity {
     }
 
     // cluster assignment: argmax over pivots, ties to the smaller pivot id
-    // (ascending scan + strict improvement)
+    // (ascending scan + strict improvement). At warehouse scale this frame is
+    // what you MATERIALIZE once, `partitionBy("cluster")`, so each probe
+    // prunes to nProbe/nPivots of the files at scan time — the cluster id is
+    // deliberately a plain column, not an internal detail.
     val assigned = corpus.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>

@@ -56,10 +56,13 @@ object StreamingOps {
             if (first) {
               state.update(Seen(System.currentTimeMillis()))
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
-            }
-            // emit only the first-ever row for this digest
-            if (first) rows.take(1).map(r => DedupOut(digest, r.doc_id, first = true))
-            else Iterator.empty
+              // representative = min (ts, doc_id) within the batch: the group
+              // iterator's order after the groupByKey shuffle is NOT
+              // deterministic, so "iterator head" would vary across runs when
+              // duplicates share a micro-batch
+              val rep = rows.minBy(r => (r.ts.getTime, r.doc_id))
+              Iterator.single(DedupOut(digest, rep.doc_id, first = true))
+            } else Iterator.empty
           }
       }
   }
