@@ -77,9 +77,32 @@ object SparkEntry {
     lazy val louvain: graft.community.Louvain.Result =
       graft.community.Louvain.run(resolvedTriples.toDF(),
         allEntities = Some(resolvesTo.toDF().select(col("canonical_id")).distinct()))
+    /** Chunk embeddings — the reference embeds every DocumentChunk
+      * (`ecc/app/graphrag/workers.py:115-117`); these feed Q2/Q3 vector
+      * retrieval.
+      */
+    lazy val chunkEmbeddings: org.apache.spark.sql.DataFrame =
+      graft.extract.Embeddings.embedText(chunks.toDF(), "chunk_id", "text")
+        .localCheckpoint(true)
+    /** Community-summary descriptions + their embeddings
+      * (`workers.py:530-560`); feed Q4 vector seeding.
+      */
+    lazy val communityDescriptions: org.apache.spark.sql.DataFrame =
+      graft.community.Summarize.describeAll(
+        louvain.levels, entities.toDF().localCheckpoint(true),
+        resolvesTo.toDF().localCheckpoint(true)).localCheckpoint(true)
+    lazy val communityEmbeddings: org.apache.spark.sql.DataFrame =
+      graft.extract.Embeddings.embedText(
+        communityDescriptions, "community_id", "description").localCheckpoint(true)
   }
 
   private def kg(s: SparkSession, dir: String): KgStages = KgStages(s, kgConfig(dir))
+
+  /** Deterministic probe vector for the vector-search queries: the same
+    * embedder the pipeline uses, applied to a fixed query text.
+    */
+  private def kgProbeVec(s: SparkSession): Array[Float] =
+    new graft.extract.HashEmbedder(1536, 42).embed("works at corporation technology")
 
   /** Flagship: full KG construction (chunk → extract → resolve → lift) on a
     * small deterministic corpus; returns the canonical triple table.
@@ -403,18 +426,71 @@ object SparkEntry {
     }),
 
     "kg_hybrid_expand" -> ((s, d) => {
+      // typed BFS over the full GSQL edge set (RELATIONSHIP, CONTAINS_ENTITY
+      // both ways, IS_AFTER, IS_HEAD_OF, HAS_TAIL) with visited/ancestor
+      // guards and per-seed attribution
       val st = kg(s, d)
-      val triples = st.resolvedTriples.toDF().localCheckpoint(true)
-      val seeds = triples.orderBy(col("subj")).limit(2)
-        .select(col("subj")).collect().map(_.getString(0)).toSeq.distinct
-      Retrieval.hybridExpand(triples, seeds, numHops = 2, numSeenMin = 1)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      val edges = Retrieval.typedEdges(st.triples.toDF(), mentions, st.chunks.toDF())
+        .localCheckpoint(true)
+      val seeds = st.triples.toDF().orderBy(col("subj")).limit(2)
+        .select(col("subj")).collect().map(r => Retrieval.EntityPrefix + r.getString(0))
+        .toSeq.distinct
+      Retrieval.hybridExpandTyped(edges, seeds, numHops = 2, numSeenMin = 1)
     }),
 
     "kg_entity_retrieval" -> ((s, d) => {
       val st = kg(s, d)
       val mentions = GraphAssembly.mentions(st.extracted).toDF()
       Retrieval.entityRelationshipRetrieval(
-        st.entities.toDF(), mentions, st.chunks.toDF(), "%corporation%", topK = 10)
+        st.entities.toDF(), mentions, st.chunks.toDF(), st.triples.toDF(),
+        Seq("%corporation%"), Seq("%works_at%"), topK = 10)
+    }),
+
+    // ---- vector-seeded retrievers (VERDICT r1 item 2: chunk + community
+    // embeddings wired end-to-end into the *_Vector_Search variants) ----
+
+    "kg_content_vector_search" -> ((s, d) => {
+      val st = kg(s, d)
+      val withEmb = st.chunkEmbeddings
+        .join(st.chunks.toDF().select(col("chunk_id"), col("text").as("content")), "chunk_id")
+        .withColumnRenamed("chunk_id", "id")
+      Retrieval.contentSimilaritySearch(withEmb, kgProbeVec(s), topK = 15)
+    }),
+
+    "kg_sibling_vector_search" -> ((s, d) => {
+      val st = kg(s, d)
+      Retrieval.siblingVectorSearch(
+        st.chunks.toDF().localCheckpoint(true), st.chunkEmbeddings, kgProbeVec(s),
+        topKSeeds = 5, lookback = 1, lookahead = 2)
+    }),
+
+    "kg_community_vector_search" -> ((s, d) => {
+      val st = kg(s, d)
+      val louv = st.louvain
+      val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
+        .join(st.communityDescriptions, Seq("community_id", "iteration"), "left")
+        .na.fill("", Seq("description"))
+      val hasParent = if (louv.levels.size > 1)
+        louv.levels.tail.map(_.membership).reduce(_ unionByName _)
+          .toDF("community_id", "parent_id")
+      else comms.select(col("community_id"), col("community_id").as("parent_id")).limit(0)
+      val inComm = louv.levels.head.membership.toDF("canonical_id", "community_id")
+        .localCheckpoint(true)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      Retrieval.communityVectorSearch(comms, st.communityEmbeddings, hasParent,
+        inComm, st.resolvesTo.toDF().localCheckpoint(true), mentions,
+        st.chunks.toDF(), kgProbeVec(s), topKSeeds = 2)
+    }),
+
+    "kg_hybrid_vector_search" -> ((s, d) => {
+      val st = kg(s, d)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      val edges = Retrieval.typedEdges(st.triples.toDF(), mentions, st.chunks.toDF())
+        .localCheckpoint(true)
+      val entityEmb = Resolution.embedEntities(st.entities, Resolution.Params())
+      Retrieval.hybridVectorSearch(edges, entityEmb, kgProbeVec(s),
+        topKSeeds = 3, numHops = 2, numSeenMin = 1)
     }),
 
     "kg_community_search" -> ((s, d) => {
@@ -438,14 +514,8 @@ object SparkEntry {
 
     "kg_communities" -> ((s, d) => {
       val st = kg(s, d)
-      val louv = st.louvain
-      // localCheckpoint: entities feeds both resolvesTo and the description
-      // join — break the shared lineage or analysis sees conflicting refs
-      val descs = graft.community.Summarize.describeAll(
-        louv.levels, st.entities.toDF().localCheckpoint(true),
-        st.resolvesTo.toDF().localCheckpoint(true))
-      louv.levels.map(_.communities).reduce(_ unionByName _)
-        .join(descs, Seq("community_id", "iteration"), "left")
+      st.louvain.levels.map(_.communities).reduce(_ unionByName _)
+        .join(st.communityDescriptions, Seq("community_id", "iteration"), "left")
     }),
 
     "kg_modularity" -> ((s, d) => {

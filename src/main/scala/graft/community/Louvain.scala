@@ -293,7 +293,19 @@ object Louvain {
       if (m <= 1e-11) { stop = true }
       else {
         val lbl = localMoving(n, e, m, maxHop)
-        var next = coarsen(lbl, e, it)
+        // carry forward unattached communities: a community with NO
+        // cross-community LINKS_TO edge is absent from this level's node set
+        // and would vanish from the hierarchy (breaking HAS_PARENT descent
+        // and the modularity projection at levels >= 2). The reference
+        // explicitly inserts identity parents for them ("Continue community
+        // hierarchy for unattached partitions",
+        // graphrag_louvain_communities.gsql:171-189) — appending them as
+        // self-labelled nodes routes them through coarsen's isolated branch.
+        val prevComms = allLevels.last.communities.select($"community_id".as("id"))
+        val lblAll = lbl.select($"id", $"comm").unionByName(
+          prevComms.join(lbl.select($"id"), Seq("id"), "left_anti")
+            .select($"id", $"id".as("comm")))
+        var next = coarsen(lblAll, e, it)
         next = next.copy(membership = next.membership.localCheckpoint(true),
           linksTo = next.linksTo.localCheckpoint(true))
         allLevels = allLevels :+ next

@@ -122,6 +122,16 @@ object Pipeline {
       c.read("embeddings").count()
     }
 
+    // every DocumentChunk is embedded (`ecc/app/graphrag/workers.py:115-117`,
+    // embed worker :175-206) — these vectors feed Q2/Q3/Q5 vector retrieval
+    stage("chunk_embeddings") { c =>
+      val chunks = c.read("chunks")
+      c.write("chunk_embeddings",
+        graft.extract.Embeddings.embedText(chunks, "chunk_id", "text", cfg.er.dim),
+        cfg.shufflePartitions)
+      c.read("chunk_embeddings").count()
+    }
+
     stage("candidate_pairs") { c =>
       val emb = c.read("embeddings")
       c.write("candidate_pairs", Resolution.candidatePairs(emb, cfg.er))
@@ -173,6 +183,16 @@ object Pipeline {
         louv.modularities.zipWithIndex
           .map { case (q, i) => (i + 1, q) }.toDF("iteration", "modularity"))
       c.read("communities").count()
+    }
+
+    // community summaries are embedded like the reference's embed pass over
+    // community descriptions (`workers.py:530-560`) — Q4 vector seeding
+    stage("community_embeddings") { c =>
+      val comms = c.read("communities")
+        .na.fill("", Seq("description"))
+      c.write("community_embeddings",
+        graft.extract.Embeddings.embedText(comms, "community_id", "description", cfg.er.dim))
+      c.read("community_embeddings").count()
     }
 
     Result(cat, results.result())

@@ -155,22 +155,229 @@ object Retrieval {
   }
 
   /** Q6 `Entity_Relationship_Retrieval`
-    * (`Entity_Relationship_Retrieval.gsql:17-52`): LIKE-match seed entities,
-    * hop to their chunks via CONTAINS_ENTITY, score chunks by how many seed
-    * entities touch them, top-k with content.
+    * (`Entity_Relationship_Retrieval.gsql:17-52`), full semantics:
+    *   - seed vertices = entities whose lowercased id LIKE any entity
+    *     pattern, UNION Relationship vertices (one per relation type,
+    *     short_name = the type — `eventual_consistency_checker.py:171`)
+    *     whose lowercased short_name LIKE any relationship pattern;
+    *   - chunks directly adjacent to a seed (CONTAINS_ENTITY /
+    *     MENTIONS_RELATIONSHIP provenance) score +2 — once per chunk, not
+    *     per seed (the GSQL POST-ACCUM runs once per matched vertex);
+    *   - chunks of DOCUMENTS adjacent to a seed (doc-level CONTAINS_ENTITY,
+    *     realized as "the document has a chunk mentioning the seed") score
+    *     +1 — so a chunk can score 1, 2 or 3;
+    *   - top-k by score, deterministic tie-break by chunk_id, with text.
     */
   def entityRelationshipRetrieval(entities: DataFrame, mentions: DataFrame,
-      chunks: DataFrame, likePattern: String, topK: Int = 5): DataFrame = {
+      chunks: DataFrame, triples: DataFrame,
+      entityLikes: Seq[String], relationshipLikes: Seq[String] = Nil,
+      topK: Int = 5): DataFrame = {
     val spark = entities.sparkSession
     import spark.implicits._
-    val seeds = entities.where(lower($"entity_id").like(likePattern.toLowerCase))
-      .select($"entity_id")
-    mentions.join(seeds, "entity_id")
-      .groupBy($"chunk_id")
-      .agg(count(lit(1)).as("touch_count"))
+    require(entityLikes.nonEmpty || relationshipLikes.nonEmpty, "need at least one pattern")
+
+    def likeAny(c: Column, pats: Seq[String]): Column =
+      pats.map(p => lower(c).like(p.toLowerCase)).reduceOption(_ || _).getOrElse(lit(false))
+
+    val seedEnts = entities.where(likeAny($"entity_id", entityLikes)).select($"entity_id")
+    val seedRels = triples.select($"pred").distinct()
+      .where(likeAny($"pred", relationshipLikes)).select($"pred")
+
+    // chunks directly adjacent to any seed vertex (distinct — +2 once)
+    val directChunks = mentions.join(seedEnts, "entity_id").select($"chunk_id")
+      .unionByName(triples.join(seedRels, "pred").select($"chunk_id"))
+      .distinct()
+
+    // documents adjacent to any seed (doc-level containment), then ALL their
+    // chunks (+1 once per chunk)
+    val chunkDoc = chunks.select($"chunk_id", $"doc_id")
+    val seedDocs = directChunks.join(chunkDoc, "chunk_id").select($"doc_id").distinct()
+    val docChunks = chunkDoc.join(seedDocs, "doc_id").select($"chunk_id").distinct()
+
+    directChunks.withColumn("direct", lit(2L))
+      .join(docChunks.withColumn("via_doc", lit(1L)), Seq("chunk_id"), "full_outer")
+      .select($"chunk_id",
+        (coalesce($"direct", lit(0L)) + coalesce($"via_doc", lit(0L))).as("touch_count"))
       .join(chunks.select($"chunk_id", $"text"), "chunk_id")
       .orderBy($"touch_count".desc, $"chunk_id")
       .limit(topK)
+  }
+
+  // ------------------------------------------------- typed hybrid search
+
+  /** Typed-vertex prefixes: one string namespace for the hybrid BFS without
+    * entity/chunk id collisions.
+    */
+  val EntityPrefix = "E:"
+  val RelationshipPrefix = "R:"
+  val ChunkPrefix = "C:"
+
+  /** The typed edge set GraphRAG_Hybrid_Search traverses
+    * (`GraphRAG_Hybrid_Search.gsql:52-57`): RELATIONSHIP> (one edge per
+    * distinct (subj, relation_type, obj) — parallel predicates count as
+    * separate arrivals), CONTAINS_ENTITY> + its reverse (the ONLY
+    * bidirectional type in the list), IS_AFTER> (chunk_i → chunk_{i−1},
+    * `workers.py:164-169`), IS_HEAD_OF> (entity → relationship-type vertex)
+    * and HAS_TAIL> (relationship-type vertex → entity) — Relationship
+    * vertices are per relation TYPE (`supportai/workers.py:230-245`).
+    */
+  def typedEdges(triples: DataFrame, mentions: DataFrame, chunks: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val rel = triples.select($"subj", $"pred", $"obj").distinct()
+    val relationship = rel.select(
+      concat(lit(EntityPrefix), $"subj").as("src"),
+      concat(lit(EntityPrefix), $"obj").as("dst"),
+      lit("RELATIONSHIP").as("etype"))
+    val isHeadOf = rel.select($"subj", $"pred").distinct().select(
+      concat(lit(EntityPrefix), $"subj").as("src"),
+      concat(lit(RelationshipPrefix), $"pred").as("dst"),
+      lit("IS_HEAD_OF").as("etype"))
+    val hasTail = rel.select($"pred", $"obj").distinct().select(
+      concat(lit(RelationshipPrefix), $"pred").as("src"),
+      concat(lit(EntityPrefix), $"obj").as("dst"),
+      lit("HAS_TAIL").as("etype"))
+    val containsEntity = mentions.select(
+      concat(lit(ChunkPrefix), $"chunk_id").as("src"),
+      concat(lit(EntityPrefix), $"entity_id").as("dst"),
+      lit("CONTAINS_ENTITY").as("etype"))
+    val containsEntityRev = mentions.select(
+      concat(lit(EntityPrefix), $"entity_id").as("src"),
+      concat(lit(ChunkPrefix), $"chunk_id").as("dst"),
+      lit("reverse_CONTAINS_ENTITY").as("etype"))
+    // IS_AFTER by (doc_id, idx−1) self-join — id-scheme agnostic
+    val pos = chunks.select($"doc_id", $"idx", $"chunk_id")
+    val isAfter = pos.as("c")
+      .join(pos.select($"doc_id", ($"idx" + 1).as("idx"), $"chunk_id".as("prev_id")).as("p"),
+        Seq("doc_id", "idx"))
+      .select(
+        concat(lit(ChunkPrefix), $"chunk_id").as("src"),
+        concat(lit(ChunkPrefix), $"prev_id").as("dst"),
+        lit("IS_AFTER").as("etype"))
+    relationship.unionByName(isHeadOf).unionByName(hasTail)
+      .unionByName(containsEntity).unionByName(containsEntityRev)
+      .unionByName(isAfter)
+  }
+
+  /** Q5 `GraphRAG_Hybrid_Search` BFS (`GraphRAG_Hybrid_Search.gsql:49-66`)
+    * with the reference's exact guards:
+    *   - seeds start with @parents = {self} and @num_times_seen = numSeenMin
+    *     (so they always survive the final filter);
+    *   - per hop, only vertices with @visited < 1 expand, and an edge is
+    *     taken only when the target is NOT in the source's ancestor set
+    *     (@parents) — the cycle guard;
+    *   - each traversed edge increments the target's @num_times_seen and
+    *     merges the source's ancestors into the target's;
+    *   - the result is per-seed: every reached vertex with num_times_seen ≥
+    *     numSeenMin is attributed to each SEED in its ancestor set
+    *     (`:60-66` FOREACH v IN s.@parents IF v IN start_set).
+    *
+    * @param edges typed edges from [[typedEdges]] (prefixed vertex ids)
+    * @return (seed_id, vertex_id, vtype, num_times_seen)
+    */
+  def hybridExpandTyped(edges: DataFrame, seedVertexIds: Seq[String],
+      numHops: Int = 2, numSeenMin: Long = 1): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(numHops <= 5, "reference caps num_hops at 5")
+
+    val e = edges.select($"src", $"dst").localCheckpoint(true)
+    val seeds = seedVertexIds.distinct
+    var parents = seeds.map(s => (s, s)).toDF("v", "parent").localCheckpoint(true)
+    var seen = seeds.map(s => (s, numSeenMin)).toDF("v", "cnt")
+    var visited = spark.emptyDataset[String].toDF("v")
+    var frontier = seeds.toDF("v")
+    var reached = seeds.toDF("v")
+    var hop = 0
+    var done = false
+
+    while (hop < numHops && !done) {
+      hop += 1
+      val active = frontier.join(visited, Seq("v"), "left_anti")
+        .withColumnRenamed("v", "src")
+      val arr = e.join(active, "src")
+      // cycle guard: target not among the source's ancestors
+      val arrOk = arr.join(
+          parents.select($"v".as("src"), $"parent".as("dst")), Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      if (arrOk.isEmpty) done = true
+      else {
+        visited = visited.unionByName(arrOk.select($"src".as("v")).distinct())
+          .distinct().localCheckpoint(true)
+        seen = seen.unionByName(arrOk.groupBy($"dst".as("v")).agg(count(lit(1)).as("cnt")))
+          .groupBy($"v").agg(sum($"cnt").as("cnt"))
+        val parentsNew = arrOk.select($"dst".as("v"), $"src".as("parent"))
+          .unionByName(arrOk.join(parents.withColumnRenamed("v", "src"), "src")
+            .select($"dst".as("v"), $"parent"))
+        parents = parents.unionByName(parentsNew).distinct().localCheckpoint(true)
+        frontier = arrOk.select($"dst".as("v")).distinct().localCheckpoint(true)
+        reached = reached.unionByName(frontier).distinct()
+      }
+    }
+
+    val surviving = reached.join(seen, "v").where($"cnt" >= numSeenMin)
+    val seedSet = seeds.toDF("seed_id")
+    surviving
+      .join(parents, "v")
+      .join(seedSet, $"parent" === $"seed_id", "left_semi")
+      .select($"parent".as("seed_id"), $"v".as("vertex_id"),
+        substring_index($"v", ":", 1).as("vtype"), $"cnt".as("num_times_seen"))
+      .distinct()
+  }
+
+  // ---------------------------------------------- vector-seeded retrievers
+
+  /** Top-k ids by cosine against one query vector — the `vectorSearch(...)`
+    * seeding step every `*_Vector_Search` retriever starts with
+    * (`GraphRAG_Community_Vector_Search.gsql:24-25`). Embeddings table is
+    * (id, embedding); returns (id, similarity) ordered.
+    */
+  def vectorSeeds(embeddings: DataFrame, queryVec: Array[Float], topK: Int,
+      idCol: String = "id"): DataFrame = {
+    val q = lit(queryVec)
+    embeddings
+      .withColumn("similarity", Similarity.cosineFast(col("embedding"), q))
+      .orderBy(col("similarity").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("similarity"), 6).as("similarity"))
+  }
+
+  /** Q4 vector variant `GraphRAG_Community_Vector_Search`
+    * (`GraphRAG_Community_Vector_Search.gsql:24-67`): seed communities by
+    * embedding similarity instead of by id, then the same HAS_PARENT descent
+    * + member/chunk context gather as [[communitySearch]].
+    */
+  def communityVectorSearch(
+      communities: DataFrame, communityEmbeddings: DataFrame,
+      hasParent: DataFrame, inCommunity: DataFrame,
+      resolvesTo: DataFrame, mentions: DataFrame, chunks: DataFrame,
+      queryVec: Array[Float], topKSeeds: Int): DataFrame = {
+    val seeds = vectorSeeds(communityEmbeddings, queryVec, topKSeeds, "community_id")
+      .select(col("community_id")).collect().map(_.getString(0)).toSeq
+    communitySearch(communities, hasParent, inCommunity, resolvesTo, mentions,
+      chunks, seeds)
+  }
+
+  /** Q3 vector variant `Chunk_Sibling_Vector_Search`: seed chunks by
+    * embedding similarity, then the ±window sibling expansion.
+    */
+  def siblingVectorSearch(chunks: DataFrame, chunkEmbeddings: DataFrame,
+      queryVec: Array[Float], topKSeeds: Int,
+      lookback: Int = 3, lookahead: Int = 3): DataFrame = {
+    val seeds = vectorSeeds(chunkEmbeddings, queryVec, topKSeeds, "chunk_id")
+      .select(col("chunk_id")).collect().map(_.getString(0)).toSeq
+    siblingSearch(chunks, seeds, lookback, lookahead)
+  }
+
+  /** Q5 vector variant `GraphRAG_Hybrid_Vector_Search`: seed entities by
+    * embedding similarity, then the typed BFS.
+    */
+  def hybridVectorSearch(edges: DataFrame, entityEmbeddings: DataFrame,
+      queryVec: Array[Float], topKSeeds: Int,
+      numHops: Int = 2, numSeenMin: Long = 1): DataFrame = {
+    val seeds = vectorSeeds(entityEmbeddings, queryVec, topKSeeds, "entity_id")
+      .select(col("entity_id")).collect().map(r => EntityPrefix + r.getString(0)).toSeq
+    hybridExpandTyped(edges, seeds, numHops, numSeenMin)
   }
 
   /** Top-k window variant used when many query vectors are scored at once

@@ -70,6 +70,28 @@ class LouvainSpec extends AnyFunSuite {
     assert(res.levels.size >= 1)
   }
 
+  test("unattached communities are carried forward to higher levels") {
+    // bridged cliques A,B (cross-community LINKS_TO at level 2) + a fully
+    // separate clique C with NO external edge: C's level-1 community has no
+    // LINKS_TO row, so without carry-forward it vanishes from level >= 2
+    // (ADVICE r1: broken HAS_PARENT descent + modularity projection)
+    val c = Seq("c1", "c2", "c3", "c4")
+    val extra = (for { i <- c.indices; j <- (i + 1) until c.size }
+      yield (c(i), "REL", c(j), "k")).toDF("subj", "pred", "obj", "chunk_id")
+    val res = Louvain.run(cliquesTriples.unionByName(extra))
+    assert(res.levels.size >= 2, "need a level-2 pass for this test")
+    val lvl1 = res.levels.head.membership.as[(String, String)].collect().toMap
+    val cComm = lvl1("c1")
+    assert(c.forall(x => lvl1(x) == cComm))
+    val lvl2 = res.levels(1).membership.as[(String, String)].collect().toMap
+    assert(lvl2.contains(cComm), s"community $cComm vanished at level 2: $lvl2")
+    assert(lvl2(cComm) == s"${cComm}_2", "carried community is an identity singleton")
+    // every level-1 community has a level-2 parent
+    val l1Comms = res.levels.head.communities.select($"community_id")
+      .as[String].collect().toSet
+    assert(l1Comms.subsetOf(lvl2.keySet))
+  }
+
   test("deterministic across runs") {
     val r1 = Louvain.run(cliquesTriples).levels.head.membership
       .orderBy("child_id").as[(String, String)].collect().toSeq

@@ -57,15 +57,86 @@ class RetrievalSpec extends AnyFunSuite {
     assert(strict == Set("a", "b", "c"))
   }
 
-  test("entityRelationshipRetrieval scores chunks by seed-entity touches") {
+  test("entityRelationshipRetrieval: +2 direct, +1 via-document, rel LIKE seeds") {
     val entities = Seq("acme_corp", "acme_inc", "zeta").toDF("entity_id")
-    val mentions = Seq(
-      ("c1", "acme_corp"), ("c1", "acme_inc"), ("c2", "acme_corp"), ("c2", "zeta"))
+    val mentions = Seq(("c1", "acme_corp"), ("c1", "acme_inc"), ("c2", "zeta"))
       .toDF("chunk_id", "entity_id")
-    val ch = Seq(("c1", "t1"), ("c2", "t2")).toDF("chunk_id", "text")
-    val out = Retrieval.entityRelationshipRetrieval(entities, mentions, ch, "%acme%", 5)
+    // c1,c2,c3 in doc d1; c4 alone in d2
+    val ch = Seq(("d1", 0, "c1", "t1"), ("d1", 1, "c2", "t2"), ("d1", 2, "c3", "t3"),
+      ("d2", 0, "c4", "t4")).toDF("doc_id", "idx", "chunk_id", "text")
+    val triples = Seq(("zeta", "WORKS_AT", "acme_corp", "c4"))
+      .toDF("subj", "pred", "obj", "chunk_id")
+    // entity seeds only: c1 direct (+2) and in touched doc (+1) = 3;
+    // c2,c3 same doc = 1; c4 untouched doc, no entity seed mention = absent
+    val out = Retrieval.entityRelationshipRetrieval(entities, mentions, ch, triples,
+      Seq("%acme%"), Nil, 5)
       .select($"chunk_id", $"touch_count").as[(String, Long)].collect().toMap
-    assert(out == Map("c1" -> 2L, "c2" -> 1L))
+    assert(out == Map("c1" -> 3L, "c2" -> 1L, "c3" -> 1L))
+    // relationship seeds: %works% matches WORKS_AT whose provenance chunk is
+    // c4 -> c4 = 2 (direct) + 1 (its doc) = 3; entity side unchanged
+    val both = Retrieval.entityRelationshipRetrieval(entities, mentions, ch, triples,
+      Seq("%acme%"), Seq("%works%"), 5)
+      .select($"chunk_id", $"touch_count").as[(String, Long)].collect().toMap
+    assert(both("c4") == 3L && both("c1") == 3L && both("c2") == 1L)
+  }
+
+  test("typedEdges + hybridExpandTyped: typed edge set changes the answer") {
+    // planted: entity a --WORKS_AT--> b, chunk k1 mentions a, k1 IS_AFTER k0
+    val triples = Seq(("a", "WORKS_AT", "b", "k1")).toDF("subj", "pred", "obj", "chunk_id")
+    val mentions = Seq(("k1", "a")).toDF("chunk_id", "entity_id")
+    val ch = Seq(("d", 0, "k0", "t0"), ("d", 1, "k1", "t1"))
+      .toDF("doc_id", "idx", "chunk_id", "text")
+    val edges = Retrieval.typedEdges(triples, mentions, ch)
+    // pred-agnostic entity-pair walk can NEVER reach chunks; the typed walk
+    // must: a ->(rev CONTAINS_ENTITY) k1 ->(IS_AFTER) k0 at hop 2, plus
+    // a -> b (RELATIONSHIP) and a -> R:WORKS_AT (IS_HEAD_OF) at hop 1
+    val out = Retrieval.hybridExpandTyped(edges, Seq("E:a"), numHops = 2)
+      .select($"vertex_id", $"num_times_seen").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("E:a", "E:b", "R:WORKS_AT", "C:k1", "C:k0"))
+    // E:b reached twice at hop 2? b gets RELATIONSHIP arrival at hop1 and
+    // HAS_TAIL arrival (from R:WORKS_AT) at hop2
+    assert(out("E:b") == 2L)
+    assert(out("C:k0") == 1L)
+    // cycle guard: the k1 -> (rev CONTAINS_ENTITY is chunk->entity? no —
+    // CONTAINS_ENTITY k1->a exists, but a is k1's ancestor, so the walk
+    // never returns to a (num_times_seen stays the seed floor)
+    assert(out("E:a") == 1L)
+    // per-seed attribution: every row names the seed
+    val seeds = Retrieval.hybridExpandTyped(edges, Seq("E:a"), 2)
+      .select($"seed_id").distinct().as[String].collect().toSeq
+    assert(seeds == Seq("E:a"))
+  }
+
+  test("hybridExpandTyped: visited guard stops re-expansion, numSeenMin filters") {
+    // triangle a-b-c (symmetric RELATIONSHIP edges both ways)
+    val triples = Seq(
+      ("a", "P", "b", "k"), ("b", "P", "a", "k"),
+      ("b", "P", "c", "k"), ("c", "P", "b", "k"),
+      ("a", "P", "c", "k"), ("c", "P", "a", "k")).toDF("subj", "pred", "obj", "chunk_id")
+    val mentions = Seq.empty[(String, String)].toDF("chunk_id", "entity_id")
+    val ch = Seq.empty[(String, Int, String, String)].toDF("doc_id", "idx", "chunk_id", "text")
+    val edges = Retrieval.typedEdges(triples, mentions, ch)
+      .where($"etype" === "RELATIONSHIP")
+    val out = Retrieval.hybridExpandTyped(edges, Seq("E:a"), numHops = 3, numSeenMin = 2)
+      .select($"vertex_id", $"num_times_seen").as[(String, Long)].collect().toMap
+    // hop1: b,c reached from a (1 each). hop2: b,c expand; b->c and c->b
+    // allowed (not ancestors of each other) -> b,c reach 2; a is both's
+    // ancestor -> never revisited; all vertices visited -> hop3 no-op
+    assert(out == Map("E:a" -> 2L, "E:b" -> 2L, "E:c" -> 2L))
+  }
+
+  test("vector-seeded retrievers: vectorSeeds picks top-k, variants compose") {
+    val chunkEmb = Seq(
+      ("k1", Array(1f, 0f)), ("k2", Array(0.8f, 0.2f)), ("k3", Array(0f, 1f)))
+      .toDF("chunk_id", "embedding")
+    val seeds = Retrieval.vectorSeeds(chunkEmb, Array(1f, 0f), 2, "chunk_id")
+      .select($"chunk_id").as[String].collect().toSeq
+    assert(seeds == Seq("k1", "k2"))
+    val ch = Seq(("d", 0, "k1", "t1"), ("d", 1, "k2", "t2"), ("d", 2, "k3", "t3"))
+      .toDF("doc_id", "idx", "chunk_id", "text")
+    val sib = Retrieval.siblingVectorSearch(ch, chunkEmb, Array(0f, 1f), 1, 1, 1)
+      .select($"chunk_id").as[String].collect().toSet
+    assert(sib == Set("k2", "k3"), "seeded at k3, window picks k2 and k3")
   }
 
   test("communitySearch descends the hierarchy and gathers member context") {
