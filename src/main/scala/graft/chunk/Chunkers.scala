@@ -50,13 +50,17 @@ object Chunkers {
   val DefaultRegexPattern = "\\r?\\n"
 
   /** Chunker dispatch by document ctype (`ecc/app/ecc_util.py:15-42`,
-    * `workers.py:89-96`); our deterministic default is the regex chunker on
-    * the reference's default newline pattern (the reference's own default,
-    * `semantic`, is LLM-coupled — SURVEY.md §2.3 K3/K5).
+    * `workers.py:89-96`). `semantic` (the reference's own default,
+    * `common/config.py:95-96`) runs the LangChain breakpoint algorithm over
+    * the deterministic hash embedder; `markdown` is the header-section
+    * splitter; anything else falls back to the regex chunker on the
+    * reference's default newline pattern.
     */
   def forType(ctype: String, characterChunkSize: Int = 1024, overlap: Int = 0): Chunker =
     ctype.toLowerCase.trim match {
       case "character" => new CharacterChunker(characterChunkSize, overlap)
+      case "semantic"  => new SemanticChunker()
+      case "markdown"  => new MarkdownChunker()
       case _           => new RegexChunker(DefaultRegexPattern)
     }
 }

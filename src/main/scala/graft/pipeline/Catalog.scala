@@ -26,6 +26,48 @@ final class Catalog(val root: String, val spark: SparkSession) {
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
+  /** S5 — batched MERGE-by-PK upsert, the row-level analogue of the
+    * reference's TigerGraph vertex upsert (`util.upsert_vertex`,
+    * `ecc/app/graphrag/workers.py:209-217`): rows with a new PK are
+    * inserted, rows with an existing PK are updated, and columns listed in
+    * `setUnionCols` merge with SET semantics (sorted distinct union — the
+    * TigerGraph SET<STRING> attribute accumulate on Entity.description,
+    * `SupportAI_Schema.gsql:21`). Swap-in is atomic at the directory level
+    * (write to a staging path, then rename over the table), the same
+    * commit granularity Iceberg's replace gives; with a real Iceberg
+    * runtime this maps 1:1 onto MERGE INTO.
+    *
+    * This is what makes true INCREMENTAL runs possible: the epoch re-scan
+    * model (`graph_rag.py:145-207`) re-extracts only new documents and
+    * merges their entities/edges into the standing tables instead of
+    * recomputing every stage.
+    */
+  def merge(table: String, updates: DataFrame, pk: Seq[String],
+      setUnionCols: Seq[String] = Nil): Unit = {
+    require(pk.nonEmpty, "merge needs at least one PK column")
+    if (!exists(table)) { write(table, updates); return }
+    val cur = read(table)
+    val dataCols = updates.columns.filterNot(pk.contains)
+    val merged = cur.as("o").join(updates.as("n"), pk, "full_outer")
+      .select(
+        pk.map(col) ++
+          dataCols.map { c =>
+            if (setUnionCols.contains(c))
+              when(col(s"o.$c").isNull, col(s"n.$c"))
+                .when(col(s"n.$c").isNull, col(s"o.$c"))
+                .otherwise(array_sort(array_distinct(concat(col(s"o.$c"), col(s"n.$c")))))
+                .as(c)
+            else coalesce(col(s"n.$c"), col(s"o.$c")).as(c)
+          }: _*)
+    val staging = path(s"$table._staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+
   def exists(table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
