@@ -97,7 +97,16 @@ object Bench {
         s""""wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},""" +
         s""""triples_per_sec_low":${f(thrLow)},"triples_per_sec_high":${f(thrHigh)},""" +
         s""""scaling_efficiency":${f(eff)}}"""
-    println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$kg,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$kg,"sf":"$sfDir"}"""
+    // stdout line for humans AND a file for machines: sbt wraps stdout in
+    // [info] noise, which left the driver's `parsed` field null in r1
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_run.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
   }
 }

@@ -57,12 +57,17 @@ object Louvain {
 
     if (m <= 1e-11) return nodes.select($"id", $"id".as("comm"))
 
+    // persist+count instead of checkpoint+isEmpty: one job materializes the
+    // frame AND yields the loop-control count — r1 paid a separate isEmpty
+    // job per structure per hop, pure scheduling latency in the efficiency
+    // decomposition (BENCH/BASELINE.md Amdahl F term)
     var labels = nodes.select($"id", $"id".as("comm"), $"k", $"k_self")
       .localCheckpoint(true)
-    var candidates = nodes.select($"id").localCheckpoint(true)
+    var candidates = nodes.select($"id").persist()
+    var nCandidates = candidates.count()
     var hop = 0
 
-    while (hop < maxHop && !candidates.isEmpty) {
+    while (hop < maxHop && nCandidates > 0) {
       hop += 1
 
       // per-node edge view with both endpoints' state
@@ -129,11 +134,12 @@ object Louvain {
             (abs($"s_gain" - $"t_gain") < 1e-11 && $"src" > $"dst")))
         .select($"src".as("id")).distinct()
 
-      val movers = moversRaw.join(cancelled, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      val movers = moversRaw.join(cancelled, Seq("id"), "left_anti").persist()
+      val nMovers = movers.count()
 
-      if (movers.isEmpty) {
-        candidates = spark.emptyDataFrame.select(lit("").as("id")).limit(0)
+      if (nMovers == 0) {
+        nCandidates = 0
+        movers.unpersist(false)
       } else {
         labels = labels.as("l")
           .join(movers.select($"id", $"new_comm").as("mv"), Seq("id"), "left")
@@ -141,14 +147,19 @@ object Louvain {
           .localCheckpoint(true)
 
         // next candidates: neighbors of movers outside the mover's new community
+        val prevCandidates = candidates
         candidates = edges
           .join(movers.select($"id".as("src"), $"new_comm"), "src")
           .join(labels.select($"id".as("dst"), $"comm".as("t_comm")), "dst")
           .where($"t_comm" =!= $"new_comm")
           .select($"dst".as("id")).distinct()
-          .localCheckpoint(true)
+          .persist()
+        nCandidates = candidates.count()
+        prevCandidates.unpersist(false)
+        movers.unpersist(false)
       }
     }
+    candidates.unpersist(false)
     labels.select($"id", $"comm")
   }
 
@@ -240,17 +251,23 @@ object Louvain {
         "community_id")
         .select($"child_id", $"up".as("community_id"))
     }
-    val e = entityEdges
+    // ONE pass and ONE job (r1 ran e.count() then re-joined for the agg —
+    // two full computations of the same two joins). Algebra:
+    // Q = Σ_C in_C/W − Σ_C (tot_C/W)² = in_sum/W − tot²_sum/W², so only
+    // three scalars are needed; all three are integer-valued double sums
+    // (exact below 2^53), making Q bit-deterministic across partitionings.
+    entityEdges
       .join(proj.select($"child_id".as("src"), $"community_id".as("s_comm")), "src")
       .join(proj.select($"child_id".as("dst"), $"community_id".as("t_comm")), "dst")
-    val sumW = e.count().toDouble
-    if (sumW == 0) return 0.0
-    val per = e.groupBy($"s_comm")
+      .groupBy($"s_comm")
       .agg(sum(lit(1.0)).as("tot"),
         sum(when($"s_comm" === $"t_comm", 1.0).otherwise(0.0)).as("in_w"))
-      .select(($"in_w" / sumW - pow($"tot" / sumW, 2)).as("q"))
-      .agg(sum($"q")).as[Double].collect()(0)
-    per
+      .agg(sum($"tot").as("w"), sum($"in_w").as("in_sum"),
+        sum($"tot" * $"tot").as("tot2"))
+      .select(
+        when($"w".isNull || $"w" === 0.0, 0.0)
+          .otherwise($"in_sum" / $"w" - $"tot2" / ($"w" * $"w")).as("q"))
+      .as[Double].collect()(0)
   }
 
   final case class Result(levels: Seq[Level], modularities: Seq[Double])

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.LineageRow
@@ -22,6 +22,22 @@ final class Catalog(val root: String, val spark: SparkSession) {
   def write(table: String, df: DataFrame, partitions: Option[Int] = None): Unit = {
     val out = partitions.map(n => df.repartition(n)).getOrElse(df)
     out.write.mode(SaveMode.Overwrite).parquet(path(table))
+  }
+
+  /** Write + row count in ONE job via the Observation API — r1's
+    * write→re-read→count pattern spent a full extra scan per stage, pure
+    * fixed latency across the 15-stage chain (the dominant term in the
+    * measured Amdahl decomposition, BENCH/BASELINE.md). `metric` defaults
+    * to a plain row count; stages that count a predicate (e.g. non-empty
+    * extractions) pass their own aggregate.
+    */
+  def writeCounted(table: String, df: DataFrame, partitions: Option[Int] = None,
+      metric: Column = count(lit(1))): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = partitions.map(n => df.repartition(n)).getOrElse(df)
+      .observe(obs, metric.cast("long").as("rows"))
+    out.write.mode(SaveMode.Overwrite).parquet(path(table))
+    obs.get("rows").asInstanceOf[Long]
   }
 
   def read(table: String): DataFrame = spark.read.parquet(path(table))

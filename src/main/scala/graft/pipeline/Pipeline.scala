@@ -71,92 +71,81 @@ object Pipeline {
 
     stage("pages") { c =>
       val pages = CorpusSynth.pages(spark, cfg.corpus)
-      c.write("pages", pages.toDF(), cfg.shufflePartitions)
-      c.read("pages").count()
+      c.writeCounted("pages", pages.toDF(), cfg.shufflePartitions)
     }
 
     stage("chunks") { c =>
       val pages = c.read("pages").as[Page]
       val chunks = GraphAssembly.chunks(GraphAssembly.docs(pages), chunkerFor(cfg))
-      c.write("chunks", chunks.toDF())
-      c.read("chunks").count()
+      c.writeCounted("chunks", chunks.toDF())
     }
 
     stage("extracted") { c =>
       val chunks = c.read("chunks").as[Chunk]
       val extracted = GraphAssembly.extractAll(chunks, extractor)
-      c.write("extracted", extracted.toDF())
-      // lineage counts DROPS, not just rows: parse failures are empty docs
-      c.read("extracted")
-        .where(org.apache.spark.sql.functions.expr("size(nodes) > 0 or size(rels) > 0"))
-        .count()
+      // lineage counts DROPS, not just rows: parse failures are empty docs —
+      // observed during the write, no second scan
+      c.writeCounted("extracted", extracted.toDF(), None,
+        org.apache.spark.sql.functions.expr(
+          "count(CASE WHEN size(nodes) > 0 or size(rels) > 0 THEN 1 END)"))
     }
 
     stage("entities") { c =>
       val extracted = c.read("extracted").as[ExtractedGraphDoc]
-      c.write("entities", GraphAssembly.entities(extracted).toDF())
-      c.read("entities").count()
+      c.writeCounted("entities", GraphAssembly.entities(extracted).toDF())
     }
 
     stage("entity_types") { c =>
       val extracted = c.read("extracted").as[ExtractedGraphDoc]
-      c.write("entity_types", GraphAssembly.entityTypes(extracted))
-      c.read("entity_types").count()
+      c.writeCounted("entity_types", GraphAssembly.entityTypes(extracted))
     }
 
     stage("mentions") { c =>
       val extracted = c.read("extracted").as[ExtractedGraphDoc]
-      c.write("mentions", GraphAssembly.mentions(extracted).toDF())
-      c.read("mentions").count()
+      c.writeCounted("mentions", GraphAssembly.mentions(extracted).toDF())
     }
 
     stage("triples") { c =>
       val extracted = c.read("extracted").as[ExtractedGraphDoc]
-      c.write("triples", GraphAssembly.triples(extracted).toDF(), cfg.shufflePartitions)
-      c.read("triples").count()
+      c.writeCounted("triples", GraphAssembly.triples(extracted).toDF(), cfg.shufflePartitions)
     }
 
     stage("embeddings") { c =>
       val entities = c.read("entities").as[Entity]
-      c.write("embeddings", Resolution.embedEntities(entities, cfg.er))
-      c.read("embeddings").count()
+      c.writeCounted("embeddings", Resolution.embedEntities(entities, cfg.er))
     }
 
     // every DocumentChunk is embedded (`ecc/app/graphrag/workers.py:115-117`,
     // embed worker :175-206) — these vectors feed Q2/Q3/Q5 vector retrieval
     stage("chunk_embeddings") { c =>
       val chunks = c.read("chunks")
-      c.write("chunk_embeddings",
+      c.writeCounted("chunk_embeddings",
         graft.extract.Embeddings.embedText(chunks, "chunk_id", "text", cfg.er.dim),
         cfg.shufflePartitions)
-      c.read("chunk_embeddings").count()
     }
 
     stage("candidate_pairs") { c =>
       val emb = c.read("embeddings")
-      c.write("candidate_pairs", Resolution.candidatePairs(emb, cfg.er))
-      c.read("candidate_pairs").count()
+      c.writeCounted("candidate_pairs", Resolution.candidatePairs(emb, cfg.er))
     }
 
     stage("resolves_to") { c =>
       val entities = c.read("entities").as[Entity]
       val pairs = c.read("candidate_pairs")
-      c.write("resolves_to", Resolution.resolvesTo(entities, pairs).toDF())
-      c.read("resolves_to").count()
+      c.writeCounted("resolves_to", Resolution.resolvesTo(entities, pairs).toDF())
     }
 
     stage("resolved_triples") { c =>
       val triples = c.read("triples").as[Triple]
       val res = c.read("resolves_to").as[ResolvesTo]
-      c.write("resolved_triples", Lift.resolvedTriples(triples, res).toDF(), cfg.shufflePartitions)
-      c.read("resolved_triples").count()
+      c.writeCounted("resolved_triples", Lift.resolvedTriples(triples, res).toDF(),
+        cfg.shufflePartitions)
     }
 
     stage("type_relationships") { c =>
       val triples = c.read("triples").as[Triple]
       val types = c.read("entity_types")
-      c.write("type_relationships", Lift.typeRelationships(triples, types).toDF())
-      c.read("type_relationships").count()
+      c.writeCounted("type_relationships", Lift.typeRelationships(triples, types).toDF())
     }
 
     stage("communities") { c =>
@@ -169,7 +158,7 @@ object Pipeline {
         louv.levels, c.read("entities"), res.as[ResolvesTo].toDF())
       val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
         .join(descs, Seq("community_id", "iteration"), "left")
-      c.write("communities", comms)
+      val nComms = c.writeCounted("communities", comms)
       c.write("in_community", louv.levels.head.membership
         .toDF("canonical_id", "community_id"))
       if (louv.levels.size > 1)
@@ -182,7 +171,7 @@ object Pipeline {
       c.write("modularity",
         louv.modularities.zipWithIndex
           .map { case (q, i) => (i + 1, q) }.toDF("iteration", "modularity"))
-      c.read("communities").count()
+      nComms
     }
 
     // community summaries are embedded like the reference's embed pass over
@@ -190,9 +179,8 @@ object Pipeline {
     stage("community_embeddings") { c =>
       val comms = c.read("communities")
         .na.fill("", Seq("description"))
-      c.write("community_embeddings",
+      c.writeCounted("community_embeddings",
         graft.extract.Embeddings.embedText(comms, "community_id", "description", cfg.er.dim))
-      c.read("community_embeddings").count()
     }
 
     Result(cat, results.result())

@@ -214,11 +214,13 @@ object Resolution {
     val nodeLabels = partial.groupBy($"id")
       .agg(min($"label").as("minl"), collect_set($"label").as("ls"))
       .localCheckpoint(true)
+    // persist+count: one job materializes AND sizes the residual graph
+    // (checkpoint-then-count was two)
     val eqEdges = nodeLabels
       .select($"minl".as("dst"), explode($"ls").as("src"))
       .where($"src" =!= $"dst")
       .dropDuplicates("src", "dst")
-      .localCheckpoint(true)
+      .persist()
     val nEq = eqEdges.count()
 
     // resolve label -> component root
