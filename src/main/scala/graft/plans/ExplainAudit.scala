@@ -71,7 +71,23 @@ object ExplainAudit {
         _ => t("supplier").join(t("lineitem").where(col("l_quantity") > 45),
           col("s_suppkey") === col("l_suppkey"), "left_semi"),
         Seq("LeftSemi"),
-        "left_semi physical operator (broadcast or shuffled)")
+        "left_semi physical operator (broadcast or shuffled)"),
+
+      Check("multimodal metadata pushdown",
+        s => {
+          import s.implicits._
+          val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+          graft.operators.Multimodal.synth(s, 50).write
+            .mode("overwrite").parquet(dir)
+          graft.operators.Multimodal.decodeImagesAbove(
+            s.read.parquet(dir).as[graft.operators.Multimodal.MediaRow], 100, 100).toDF()
+        },
+        // plan toString elides long filter lists — assert the pushdown via
+        // the stable prefix (modality equality + the width bound's prefix)
+        Seq("EqualTo(modality,image)", "IsNotNull(width)", "IsNotNull(height)",
+          "GreaterThanOr"),
+        "meta predicates must reach the parquet scan BEFORE payload decode " +
+          "(r1 used a typed lambda filter that deserialized every payload)")
     )
 
     var failures = 0

@@ -208,12 +208,15 @@ object Resolution {
         parent.keysIterator.map(n => (n, find(n)))
       }
       .toDF("id", "label")
-      .localCheckpoint(true)
 
-    // label equivalences: a node seen by k partitions links its k labels
+    // label equivalences: a node seen by k partitions links its k labels.
+    // nodeLabels is persisted (consumed by eqEdges AND the final projection)
+    // but NOT separately materialized — the eqEdges count below computes
+    // partial → nodeLabels → eqEdges in ONE job (r1 spent three: two eager
+    // checkpoints plus the count)
     val nodeLabels = partial.groupBy($"id")
       .agg(min($"label").as("minl"), collect_set($"label").as("ls"))
-      .localCheckpoint(true)
+      .persist()
     // persist+count: one job materializes AND sizes the residual graph
     // (checkpoint-then-count was two)
     val eqEdges = nodeLabels
