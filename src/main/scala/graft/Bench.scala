@@ -51,10 +51,18 @@ object Bench {
     // sized so parallel work dominates the ER segment's fixed latency —
     // scaling efficiency is meaningless when wall time is job-scheduling
     // overhead (Amdahl at toy scale)
-    val pages =
+    // 150k pages at the sf0.1 tier: measured sweet spot between the two
+    // sandbox ceilings. Below it, fixed per-job latency dominates (Amdahl
+    // fit: F ≈ 14 s, W ≈ 280 core-s → efficiency caps ≈ 0.55 regardless of
+    // plan quality); above it, the 32-thread run hits the single-box
+    // memory-bandwidth knee (measured r2: 300k pages → T8 1.73× for 2×
+    // data but T32 3.0× → efficiency 0.31; r1 saw the same at 700k). A
+    // real cluster shares neither ceiling — see BENCH/BASELINE.md.
+    val pages = sys.env.get("SPARK_GRAFT_KG_PAGES").map(_.toInt).getOrElse {
       if (sfDir.contains("0.001")) 2000
       else if (sfDir.contains("0.01")) 20000
       else 150000
+    }
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
 
     // warm JIT/classloading so the low-parallelism run isn't penalized
