@@ -466,6 +466,20 @@ object SparkEntry {
       Retrieval.hybridExpandTyped(edges, seeds, numHops = 2, numSeenMin = 1)
     }),
 
+    "kg_hybrid_context" -> ((s, d) => {
+      // the GSQL result_set: per-seed context strings per reached vertex
+      val st = kg(s, d)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      val chunks = st.chunks.toDF().localCheckpoint(true)
+      val edges = Retrieval.typedEdges(st.triples.toDF(), mentions, chunks)
+        .localCheckpoint(true)
+      val seeds = st.triples.toDF().orderBy(col("subj")).limit(2)
+        .select(col("subj")).collect().map(r => Retrieval.EntityPrefix + r.getString(0))
+        .toSeq.distinct
+      val expanded = Retrieval.hybridExpandTyped(edges, seeds, numHops = 2, numSeenMin = 1)
+      Retrieval.hybridContext(expanded, st.entities.toDF(), chunks)
+    }),
+
     "kg_entity_retrieval" -> ((s, d) => {
       val st = kg(s, d)
       val mentions = GraphAssembly.mentions(st.extracted).toDF()

@@ -325,6 +325,40 @@ object Retrieval {
       .distinct()
   }
 
+  /** Context assembly over a [[hybridExpandTyped]] result — the GSQL's
+    * final per-type ACCUM (`GraphRAG_Hybrid_Search.gsql:68-81` + the
+    * HAS_CONTENT hop `:95-101`):
+    *   - Entity rows render "Entity: <id with underscores as spaces>,
+    *     Description: <desc>; <desc>; ..." (`:72-77`, descriptions joined
+    *     in deterministic sorted order — ours are pre-sorted);
+    *   - Relationship rows carry the relation type (the vertex's
+    *     short_name; our triples do not retain per-edge definitions);
+    *   - DocumentChunk rows fetch the chunk text;
+    *   - Document rows are excluded (`:69` s.type != "Document").
+    *
+    * @return (seed_id, vertex_id, vtype, num_times_seen, context)
+    */
+  def hybridContext(expanded: DataFrame, entities: DataFrame, chunks: DataFrame): DataFrame = {
+    val spark = expanded.sparkSession
+    import spark.implicits._
+    val bare = substring(col("vertex_id"), 3, Int.MaxValue)
+    val entCtx = expanded.where($"vtype" === "E")
+      .join(entities.select($"entity_id",
+          concat_ws("; ", $"descriptions").as("desc_all")),
+        bare === col("entity_id"), "left")
+      .withColumn("context",
+        concat(lit("Entity: "), regexp_replace(bare, "_", " "),
+          lit(", Description: "), coalesce($"desc_all", lit(""))))
+      .drop("entity_id", "desc_all")
+    val relCtx = expanded.where($"vtype" === "R")
+      .withColumn("context", bare)
+    val chunkCtx = expanded.where($"vtype" === "C")
+      .join(chunks.select($"chunk_id", $"text"), bare === col("chunk_id"), "left")
+      .withColumn("context", coalesce($"text", lit("")))
+      .drop("chunk_id", "text")
+    entCtx.unionByName(relCtx).unionByName(chunkCtx)
+  }
+
   // ---------------------------------------------- vector-seeded retrievers
 
   /** Top-k ids by cosine against one query vector — the `vectorSearch(...)`

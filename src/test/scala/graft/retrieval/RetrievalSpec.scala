@@ -125,6 +125,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Map("E:a" -> 2L, "E:b" -> 2L, "E:c" -> 2L))
   }
 
+  test("hybridContext assembles per-type context strings") {
+    val triples = Seq(("a", "WORKS_AT", "b", "k1")).toDF("subj", "pred", "obj", "chunk_id")
+    val mentions = Seq(("k1", "a")).toDF("chunk_id", "entity_id")
+    val ch = Seq(("d", 0, "k0", "text zero"), ("d", 1, "k1", "text one"))
+      .toDF("doc_id", "idx", "chunk_id", "text")
+    val entities = Seq(
+      ("a", Seq("desc a1", "desc a2"), "Person"), ("b", Seq("desc b"), "Org"))
+      .toDF("entity_id", "descriptions", "entity_type")
+    val edges = Retrieval.typedEdges(triples, mentions, ch)
+    val expanded = Retrieval.hybridExpandTyped(edges, Seq("E:a"), numHops = 2)
+    val ctx = Retrieval.hybridContext(expanded, entities, ch)
+      .select($"vertex_id", $"context").as[(String, String)].collect().toMap
+    assert(ctx("E:a") == "Entity: a, Description: desc a1; desc a2")
+    assert(ctx("E:b") == "Entity: b, Description: desc b")
+    assert(ctx("R:WORKS_AT") == "WORKS_AT")
+    assert(ctx("C:k1") == "text one" && ctx("C:k0") == "text zero")
+  }
+
   test("vector-seeded retrievers: vectorSeeds picks top-k, variants compose") {
     val chunkEmb = Seq(
       ("k1", Array(1f, 0f)), ("k2", Array(0.8f, 0.2f)), ("k3", Array(0f, 1f)))
