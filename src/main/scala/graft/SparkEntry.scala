@@ -340,9 +340,12 @@ object SparkEntry {
     // the operator in that regime.
     "q_ann_ivf_recall" -> ((s, d) => {
       import s.implicits._
-      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 50, dim = 64, seed = 7)
+      // 5000 vectors = 10× the sfDir embeddings table; with √N ≈ 71 pivots
+      // the expected cluster share is 125/5000 = 2.5% — no join key can
+      // concentrate the corpus
+      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
         .localCheckpoint(true)
-      val qs = corpus.where(col("vec_id") % 200 === 0)
+      val qs = corpus.where(col("vec_id") % 500 === 0)
       val exact = Similarity.bruteForceTopK(corpus, qs, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(corpus, qs, k = 5)
