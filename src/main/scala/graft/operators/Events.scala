@@ -30,9 +30,11 @@ object Events {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        // decimal accumulation: double sums depend on partition order, so a
-        // parallel Spark sum vs a row-order oracle sum can flip a .005
-        // rounding boundary — exact decimal arithmetic is order-free
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+        // exact order-free sum without decimal aggregation: `value` is
+        // fixed-scale 2dp, so round(x*100)::long is the exact scaled integer
+        // and a plain LONG sum stays a codegen'd HashAggregate (decimal(18,6)
+        // sums widen past precision 18 → BigDecimal accumulation, the r2
+        // q_agg_pricing 4x regression)
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
   }
 }

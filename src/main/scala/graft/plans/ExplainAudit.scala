@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 object ExplainAudit {
 
   final case class Check(name: String, df: SparkSession => DataFrame,
-      mustContain: Seq[String], note: String)
+      mustContain: Seq[String], note: String,
+      mustNotContain: Seq[String] = Nil)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -73,6 +74,15 @@ object ExplainAudit {
         Seq("LeftSemi"),
         "left_semi physical operator (broadcast or shuffled)"),
 
+      Check("scaled-integer float sums stay codegen'd",
+        s => graft.SparkEntry.queries("q_agg_pricing")(s, sfDir),
+        // the aggregate must be a whole-stage-codegen HashAggregate over LONG
+        // partial sums — the r2 decimal(18,6) sums widened past precision 18
+        // (BigDecimal accumulation, no codegen benefit: 2.9s → 11.6s)
+        Seq("*(1) HashAggregate", "partial_sum"),
+        "float-column sums are scaled-long, never wide-decimal",
+        mustNotContain = Seq("ObjectHashAggregate", "decimal(28", "decimal(38")),
+
       Check("multimodal metadata pushdown",
         s => {
           import s.implicits._
@@ -93,7 +103,8 @@ object ExplainAudit {
     var failures = 0
     checks.foreach { c =>
       val plan = c.df(spark).queryExecution.executedPlan.toString
-      val missing = c.mustContain.filterNot(plan.contains)
+      val missing = c.mustContain.filterNot(plan.contains) ++
+        c.mustNotContain.filter(plan.contains).map("FORBIDDEN " + _)
       val status = if (missing.isEmpty) "OK  " else { failures += 1; "FAIL" }
       println(s"[$status] ${c.name} — ${c.note}")
       missing.foreach(m => println(s"       missing: $m"))
