@@ -96,7 +96,20 @@ object SparkEntry {
         communityDescriptions, "community_id", "description").localCheckpoint(true)
   }
 
-  private def kg(s: SparkSession, dir: String): KgStages = KgStages(s, kgConfig(dir))
+  /** Memoized stage graphs: ~20 kg_* queries share one corpus pipeline, so
+    * without this Verify rebuilt (and localCheckpoint-pinned) the full stage
+    * graph once PER QUERY — ~20x the work and an unbounded block-manager
+    * leak across the 55-query run (the likely cause of kg_gate — the last
+    * ListMap entry — silently missing from CORRECTNESS_r02). Keyed by
+    * session so Bench's fresh-session runs never share state.
+    */
+  private val kgCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, CorpusSynth.Config), KgStages]
+
+  def kgStages(s: SparkSession, cfg: CorpusSynth.Config): KgStages =
+    kgCache.getOrElseUpdate((s, cfg), KgStages(s, cfg))
+
+  private def kg(s: SparkSession, dir: String): KgStages = kgStages(s, kgConfig(dir))
 
   /** Deterministic probe vector for the vector-search queries: the same
     * embedder the pipeline uses, applied to a fixed query text.
@@ -433,6 +446,24 @@ object SparkEntry {
       Lift.typeRelationships(st.triples, GraphAssembly.entityTypes(st.extracted)).toDF()
     }),
 
+    // one-row digest of every KG stage's cardinality over the PINNED
+    // sf0.01-tier corpus (1500 pages — independent of sfDir, so the constant
+    // oracle row stays valid wherever Verify runs). Catches silent row-loss
+    // or -inflation in any stage the moment it happens. Placed early in the
+    // map (r2: as the LAST entry it was silently absent from the driver's
+    // correctness output — a late-run casualty, not a query failure).
+    "kg_gate" -> ((s, d) => {
+      import s.implicits._
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      val louv = st.louvain
+      Seq((st.chunks.count(), st.entities.count(),
+          operators.GraphAssembly.mentions(st.extracted).count(),
+          st.triples.count(), st.resolvesTo.count(), st.resolvedTriples.count(),
+          louv.levels.head.communities.count(), louv.levels.size.toLong))
+        .toDF("n_chunks", "n_entities", "n_mentions", "n_triples_raw",
+          "n_resolves_to", "n_resolved_triples", "n_l1_communities", "n_levels")
+    }),
+
     // ---- retrieval operators (SURVEY.md §2.9) ----
 
     "q_sibling_search" -> ((s, d) => {
@@ -575,7 +606,7 @@ object SparkEntry {
       // so the constant oracle row holds wherever Verify runs; Q itself is
       // bit-deterministic (exact integer-sum algebra, Louvain.modularity),
       // rounded to 4dp for the oracle literal
-      KgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
         .louvain.modularities.zipWithIndex
         .map { case (q, i) => ((i + 1).toLong, math.rint(q * 1e4) / 1e4) }
         .toDF("iteration", "modularity")
@@ -585,21 +616,6 @@ object SparkEntry {
     // P/R row (triple and entity-link precision/recall vs the planted gold)
     "kg_eval" -> ((s, d) => kgEval(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))),
 
-    // one-row digest of every KG stage's cardinality over the PINNED
-    // sf0.01-tier corpus (1500 pages — independent of sfDir, so the constant
-    // oracle row stays valid wherever Verify runs). Catches silent row-loss
-    // or -inflation in any stage the moment it happens.
-    "kg_gate" -> ((s, d) => {
-      import s.implicits._
-      val st = KgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
-      val louv = st.louvain
-      Seq((st.chunks.count(), st.entities.count(),
-          operators.GraphAssembly.mentions(st.extracted).count(),
-          st.triples.count(), st.resolvesTo.count(), st.resolvedTriples.count(),
-          louv.levels.head.communities.count(), louv.levels.size.toLong))
-        .toDF("n_chunks", "n_entities", "n_mentions", "n_triples_raw",
-          "n_resolves_to", "n_resolved_triples", "n_l1_communities", "n_levels")
-    })
   )
 
   /** P/R of emitted canonical triples vs planted golden triples, and of
@@ -608,7 +624,7 @@ object SparkEntry {
     */
   def kgEval(s: SparkSession, cfg: CorpusSynth.Config): DataFrame = {
     import s.implicits._
-    val st = KgStages(s, cfg)
+    val st = kgStages(s, cfg)
 
     val emitted = st.resolvedTriples
       .where(col("pred") =!= GraphAssembly.CoOccurrencePred)
