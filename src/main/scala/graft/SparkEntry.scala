@@ -316,7 +316,9 @@ object SparkEntry {
     // near-quadratic candidate join, 59.6s of the bench) and is now rejected
     // by simhashPairs itself
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)),
+      // assertLossless: the DuckDB oracle is an exact uncapped O(N²) scan, so
+      // the blocked plan asserts no bucket exceeds the cap on this corpus
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3, assertLossless = true)),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"),
@@ -370,8 +372,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(corpus, qs, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val perQuery = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      // recall over ALL issued queries: left-join hit counts back onto the
+      // full query set with hits coalesced to 0 — a zero-hit query must drag
+      // the denominator, not vanish from it (the left_semi alone dropped it)
+      val hitCounts = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val perQuery = qs.select(col("vec_id").cast("long").as("query_id"))
+        .join(hitCounts, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
       perQuery.agg(
         count(lit(1)).cast("long").as("n_queries"),
         (sum(col("hits")).cast("double") / (count(lit(1)) * 5) >= 0.9).as("recall_ok"))

@@ -243,7 +243,8 @@ object Dedup {
     * (buckets whose size exceeds it) like the MinHash path does.
     */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3, maxBucket: Int = 2000,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      assertLossless: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nChunks = maxHamming + 1
@@ -260,6 +261,22 @@ object Dedup {
         it.flatMap { case (id, text) => simhash60(md, text).map(s => (id, s)) }
       }
       .toDF("id", "sig")
+
+    // the `bn <= maxBucket` prune below makes blocking LOSSY above the cap
+    // while the exact O(N²) DuckDB oracle has no cap — on oracle-gated
+    // corpora this check turns the "lossless below the cap" assumption into
+    // an assertion (small extra agg job; skip it on production-scale runs
+    // where the cap is the intended flood guard)
+    if (assertLossless) {
+      val over = sigs.select(posexplode(expr(
+          s"transform(sequence(0, ${nChunks - 1}), c -> (sig >> (c * $bitsPer)) & " +
+            s"${(1L << bitsPer) - 1})")).as(Seq("chunk", "chunk_val")))
+        .groupBy($"chunk", $"chunk_val").agg(count(lit(1)).as("bn"))
+        .where($"bn" > maxBucket).limit(1).count()
+      require(over == 0,
+        s"simhash bucket exceeds maxBucket=$maxBucket on an oracle-gated corpus — " +
+          "the blocked join would silently drop pairs the exact oracle keeps")
+    }
 
     val chunked = sigs.select($"id", $"sig",
       posexplode(expr(
