@@ -15,6 +15,14 @@ import graft.corpus.CorpusSynth
   *      (T_low / T_high) / (cores_high / cores_low), target ≥ 0.8.
   *   2. Headline query timings over the driver's sf tables at local[N]
   *      (count() forces full execution; inputs are parquet scans).
+  *
+  * Adjudication instrumentation (r2 verdict: a 2.6× wall gap between two
+  * best-of-2 runs of the SAME commit was unresolvable from the artifacts):
+  *   - every sample's wall AND the host's /proc/stat steal-time delta are
+  *     recorded, so host contention is measured per sample, not argued;
+  *   - a per-stage wall breakdown (plans.BenchProfile) is embedded;
+  *   - every run is archived to BENCH/runs/<utc>-<git-sha>.json (last_run
+  *     .json stays the latest copy) — run history survives across rounds.
   */
 object Bench {
 
@@ -34,23 +42,36 @@ object Bench {
     s
   }
 
-  /** Full KG construction; returns (resolvedTripleCount, wallSec). */
-  private def runKg(cores: Int, cfg: CorpusSynth.Config): (Long, Double) = {
+  /** Host steal-time ticks (/proc/stat cpu line, field 8) — time the
+    * hypervisor ran someone else while this guest was runnable. Divides by
+    * USER_HZ=100 to seconds. 0 when unreadable (non-Linux).
+    */
+  private def stealTicks(): Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else 0L
+    } catch { case _: Throwable => 0L }
+
+  final case class Sample(wall: Double, stealSec: Double)
+
+  /** Full KG construction; returns (resolvedTripleCount, sample). */
+  private def runKg(cores: Int, cfg: CorpusSynth.Config): (Long, Sample) = {
     val spark = session(cores)
+    val s0 = stealTicks()
     val t0 = System.nanoTime()
     val n = SparkEntry.KgStages(spark, cfg).resolvedTriples.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    val steal = (stealTicks() - s0) / 100.0
     spark.stop()
-    (n, wall)
+    (n, Sample(wall, steal))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresLow = math.max(1, coresHigh / 4)
-    // sized so parallel work dominates the ER segment's fixed latency —
-    // scaling efficiency is meaningless when wall time is job-scheduling
-    // overhead (Amdahl at toy scale)
     // 150k pages at the sf0.1 tier: measured sweet spot between the two
     // sandbox ceilings. Below it, fixed per-job latency dominates (Amdahl
     // fit: F ≈ 14 s, W ≈ 280 core-s → efficiency caps ≈ 0.55 regardless of
@@ -70,16 +91,27 @@ object Bench {
 
     // best-of-2 per level, interleaved: the sandbox VM shows multi-x
     // steal-time swings (host contention), so a single sample per level can
-    // invert the scaling signal entirely
-    val (nLow, wallLow1) = runKg(coresLow, cfg)
-    val (nHigh, wallHigh1) = runKg(coresHigh, cfg)
-    val (_, wallLow2) = runKg(coresLow, cfg)
-    val (_, wallHigh2) = runKg(coresHigh, cfg)
-    val wallLow = math.min(wallLow1, wallLow2)
-    val wallHigh = math.min(wallHigh1, wallHigh2)
+    // invert the scaling signal entirely. Per-sample steal is recorded so a
+    // polluted sample is identifiable in the artifact.
+    val (nLow, low1) = runKg(coresLow, cfg)
+    val (nHigh, high1) = runKg(coresHigh, cfg)
+    val (_, low2) = runKg(coresLow, cfg)
+    val (_, high2) = runKg(coresHigh, cfg)
+    val wallLow = math.min(low1.wall, low2.wall)
+    val wallHigh = math.min(high1.wall, high2.wall)
     val thrLow = nLow / wallLow
     val thrHigh = nHigh / wallHigh
     val eff = (thrHigh / thrLow) / (coresHigh.toDouble / coresLow)
+
+    // per-stage walls: one instrumented run at full parallelism (extra
+    // checkpoints make the sum ≥ the headline wall — attribution only)
+    val profSpark = session(coresHigh)
+    val pt0 = System.nanoTime()
+    val ps0 = stealTicks()
+    val (_, stageWalls) = plans.BenchProfile.profile(profSpark, cfg)
+    val profWall = (System.nanoTime() - pt0) / 1e9
+    val profSteal = (stealTicks() - ps0) / 100.0
+    profSpark.stop()
 
     // headline queries at full parallelism
     val spark = session(coresHigh)
@@ -96,17 +128,34 @@ object Bench {
     }
     spark.stop()
 
+    val gitSha =
+      try new String(java.lang.Runtime.getRuntime
+        .exec(Array("git", "rev-parse", "--short", "HEAD")).getInputStream.readAllBytes()).trim
+      catch { case _: Throwable => "unknown" }
+    val utc = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
     val total = wallLow + wallHigh + qtimes.map(_._2).sum
     def f(d: Double) = "%.3f".format(d)
     val qs = qtimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    def arr(xs: Double*) = xs.map(f).mkString("[", ",", "]")
+    val sw = stageWalls.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val kg =
       s""""kg":{"pages":$pages,"resolved_triples":$nHigh,""" +
         s""""cores_low":$coresLow,"cores_high":$coresHigh,""" +
         s""""wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},""" +
         s""""triples_per_sec_low":${f(thrLow)},"triples_per_sec_high":${f(thrHigh)},""" +
-        s""""scaling_efficiency":${f(eff)}}"""
+        s""""scaling_efficiency":${f(eff)},""" +
+        s""""samples_low_sec":${arr(low1.wall, low2.wall)},""" +
+        s""""samples_high_sec":${arr(high1.wall, high2.wall)},""" +
+        s""""steal_low_sec":${arr(low1.stealSec, low2.stealSec)},""" +
+        s""""steal_high_sec":${arr(high1.stealSec, high2.stealSec)},""" +
+        s""""stage_walls_high_sec":$sw,""" +
+        s""""stage_profile_total_sec":${f(profWall)},""" +
+        s""""stage_profile_steal_sec":${f(profSteal)}}"""
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$kg,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$kg,""" +
+        s""""sf":"$sfDir","git_sha":"$gitSha","utc":"$utc"}"""
     // stdout line for humans AND a file for machines: sbt wraps stdout in
     // [info] noise, which left the driver's `parsed` field null in r1
     println(json)
@@ -115,6 +164,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_run.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
+      // run history: one immutable file per run, named by time + commit —
+      // the r2 bench dispute was unadjudicable precisely because last_run
+      // .json was overwritten per run with no provenance
+      val hist = java.nio.file.Paths.get("BENCH/runs")
+      java.nio.file.Files.createDirectories(hist)
+      java.nio.file.Files.writeString(hist.resolve(s"$utc-$gitSha.json"), json + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
   }
 }

@@ -204,6 +204,16 @@ object CorpusSynth extends Serializable {
     spark.range(cfg.nPages).mapPartitions(_.map(i => renderPage(cfg, i).page))
   }
 
+  /** Page slice [from, until) — pages are pure in (seed, i, nClusters), so
+    * `pagesRange(cfg, n, m)` is exactly the tail that `pages(cfg(nPages=m))`
+    * adds over `pages(cfg(nPages=n))`: the deterministic "new crawl batch"
+    * for incremental-run tests.
+    */
+  def pagesRange(spark: SparkSession, cfg: Config, from: Long, until: Long): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(from, until).mapPartitions(_.map(i => renderPage(cfg, i).page))
+  }
+
   /** Golden resolved triples (clean facts only; noisy facts are expected
     * recall loss). Includes provenance url.
     */

@@ -40,6 +40,17 @@ final class Catalog(val root: String, val spark: SparkSession) {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Append rows to a table (delta stages: new chunks/mentions/triples have
+    * disjoint natural keys, so append IS the merge). Row count observed
+    * during the write — no re-scan.
+    */
+  def appendCounted(table: String, df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).cast("long").as("rows"))
+      .write.mode(SaveMode.Append).parquet(path(table))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   def read(table: String): DataFrame = {
     val df = spark.read.parquet(path(table))
     // bucketed tables carry their layout column; consumers see logical rows
@@ -67,24 +78,12 @@ final class Catalog(val root: String, val spark: SparkSession) {
       mergeExprs: Map[String, (Column, Column) => Column] = Map.empty): Unit = {
     require(pk.nonEmpty, "merge needs at least one PK column")
     if (!exists(table)) { write(table, assertUniquePk(updates, pk)); return }
-    val merged = mergedFrame(read(table), updates, pk, setUnionCols, mergeExprs)
-    val staging = path(s"$table._staging")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
     // crash-safe swap: move the live table ASIDE first, then promote the
     // staging dir, then drop the old copy — a failure between any two steps
     // leaves either the old table live or recoverable at `<table>._old`
     // (delete-then-rename lost the whole table on a crash in between, and
     // ignored rename's boolean result)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path(table))
-    val aside = new org.apache.hadoop.fs.Path(path(s"$table._old"))
-    fs.delete(aside, true)
-    if (fs.exists(dst))
-      require(fs.rename(dst, aside), s"merge($table): failed to move live table aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
-      s"merge($table): failed to promote staging dir (old data at $aside)")
-    fs.delete(aside, true)
+    overwriteAtomic(table, mergedFrame(read(table), updates, pk, setUnionCols, mergeExprs))
   }
 
   /** Full-outer MERGE of `updates` into `cur` with schema reconciliation:
@@ -163,6 +162,7 @@ final class Catalog(val root: String, val spark: SparkSession) {
         s"(table ${curAll.columns.toSet - "_bucket"} vs updates ${updates.columns.toSet})")
     val withB = updates.withColumn("_bucket", bucketCol(pk, nBuckets))
     val touched = withB.select("_bucket").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty delta: nothing to merge
     val cur = curAll.where(col("_bucket").isin(touched.map(Integer.valueOf): _*))
       .drop("_bucket")
     val merged = mergedFrame(cur, updates, pk, setUnionCols, mergeExprs)
@@ -170,6 +170,90 @@ final class Catalog(val root: String, val spark: SparkSession) {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket").parquet(path(table))
+  }
+
+  /** Bucketed write WITHOUT a PK-uniqueness requirement (multi-row keys like
+    * candidate_pairs.src), row count observed during the write.
+    */
+  def writeKeyedCounted(table: String, df: DataFrame, keyCols: Seq[String], nBuckets: Int): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.withColumn("_bucket", bucketCol(keyCols, nBuckets))
+      .observe(obs, count(lit(1)).cast("long").as("rows"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(path(table))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** True when the table directory uses the `_bucket=N/` partition layout. */
+  def isBucketed(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("_bucket="))
+  }
+
+  /** MERGE that follows the table's existing layout: bucketed tables get the
+    * O(delta) partition-pruned merge, flat tables the atomic full rewrite.
+    * Same logical result either way.
+    */
+  def mergeAuto(table: String, updates: DataFrame, pk: Seq[String],
+      setUnionCols: Seq[String] = Nil,
+      mergeExprs: Map[String, (Column, Column) => Column] = Map.empty,
+      nBuckets: Int = 64): Unit =
+    if (isBucketed(table)) mergeBucketed(table, updates, pk, setUnionCols, mergeExprs, nBuckets)
+    else merge(table, updates, pk, setUnionCols, mergeExprs)
+
+  /** Replace the FULL row-set of every key in (`removeKeys` ∪ keys of
+    * `newRows`) with `newRows` — for tables with multiple rows per key
+    * (candidate_pairs keyed by src), where a key's new row-set can be
+    * smaller than its old one so a PK merge cannot express the deletion.
+    * Bucketed layout: only buckets containing replaced keys are read and
+    * rewritten. Flat layout: atomic full rewrite.
+    */
+  def replaceByKey(table: String, keyCol: String, removeKeys: DataFrame,
+      newRows: DataFrame, nBuckets: Int = 64): Unit = {
+    val replacedKeys = removeKeys.select(col(keyCol))
+      .unionByName(newRows.select(col(keyCol))).distinct()
+    if (!exists(table)) {
+      newRows.withColumn("_bucket", bucketCol(Seq(keyCol), nBuckets))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(path(table))
+      return
+    }
+    if (isBucketed(table)) {
+      val touched = replacedKeys.withColumn("_bucket", bucketCol(Seq(keyCol), nBuckets))
+        .select("_bucket").distinct().collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return // empty delta: nothing to replace
+      val cur = spark.read.parquet(path(table))
+        .where(col("_bucket").isin(touched.map(Integer.valueOf): _*)).drop("_bucket")
+      val out = cur.join(replacedKeys, Seq(keyCol), "left_anti").unionByName(newRows)
+      out.withColumn("_bucket", bucketCol(Seq(keyCol), nBuckets))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket").parquet(path(table))
+    } else {
+      val out = read(table).join(replacedKeys, Seq(keyCol), "left_anti").unionByName(newRows)
+      overwriteAtomic(table, out)
+    }
+  }
+
+  /** Stage-then-swap overwrite for frames derived FROM the live table (a
+    * plain Overwrite would truncate its own input mid-plan).
+    */
+  def overwriteAtomic(table: String, df: DataFrame): Unit = {
+    val staging = path(s"$table._staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    promoteStaging(table, staging)
+  }
+
+  private def promoteStaging(table: String, staging: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    val aside = new org.apache.hadoop.fs.Path(path(s"$table._old"))
+    fs.delete(aside, true)
+    if (fs.exists(dst))
+      require(fs.rename(dst, aside), s"swap($table): failed to move live table aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
+      s"swap($table): failed to promote staging dir (old data at $aside)")
+    fs.delete(aside, true)
   }
 
   def exists(table: String): Boolean = {

@@ -38,7 +38,16 @@ object Pipeline {
       runId: String = "run-0",
       resume: Boolean = false,
       /** write partitions for the big tables; tune to cluster size. */
-      shufflePartitions: Option[Int] = None) {
+      shufflePartitions: Option[Int] = None,
+      /** Bucketed (_bucket=N) layout for the MERGE-target tables (entities,
+        * entity_types, embeddings, candidate_pairs) plus a persisted lsh_sigs
+        * blocking index — makes [[runIncremental]] commits O(delta): only
+        * buckets containing updated keys are rewritten. Off by default (flat
+        * tables; incremental still works, merges just rewrite whole tables).
+        */
+      incrementalLayout: Boolean = false,
+      /** bucket count for the incremental layout; fixed per table lifetime. */
+      erBuckets: Int = 64) {
     def fingerprintBase: String =
       s"$corpus|$chunkerType|$characterChunkSize|$characterOverlap|$er"
   }
@@ -92,12 +101,17 @@ object Pipeline {
 
     stage("entities") { c =>
       val extracted = c.read("extracted").as[ExtractedGraphDoc]
-      c.writeCounted("entities", GraphAssembly.entities(extracted).toDF())
+      val ents = GraphAssembly.entities(extracted).toDF()
+      if (cfg.incrementalLayout) c.writeKeyedCounted("entities", ents, Seq("entity_id"), cfg.erBuckets)
+      else c.writeCounted("entities", ents)
     }
 
     stage("entity_types") { c =>
       val extracted = c.read("extracted").as[ExtractedGraphDoc]
-      c.writeCounted("entity_types", GraphAssembly.entityTypes(extracted))
+      val et = GraphAssembly.entityTypes(extracted)
+      if (cfg.incrementalLayout)
+        c.writeKeyedCounted("entity_types", et, Seq("entity_id", "type_id"), cfg.erBuckets)
+      else c.writeCounted("entity_types", et)
     }
 
     stage("mentions") { c =>
@@ -112,7 +126,17 @@ object Pipeline {
 
     stage("embeddings") { c =>
       val entities = c.read("entities").as[Entity]
-      c.writeCounted("embeddings", Resolution.embedEntities(entities, cfg.er))
+      val emb = Resolution.embedEntities(entities, cfg.er)
+      if (cfg.incrementalLayout) c.writeKeyedCounted("embeddings", emb, Seq("entity_id"), cfg.erBuckets)
+      else c.writeCounted("embeddings", emb)
+    }
+
+    // persisted sign-RP blocking index — incremental runs re-sign only
+    // changed entities and join the delta against this table
+    if (cfg.incrementalLayout) stage("lsh_sigs") { c =>
+      c.writeKeyedCounted("lsh_sigs",
+        Resolution.signatures(c.read("embeddings"), cfg.er),
+        Seq("entity_id", "band"), cfg.erBuckets)
     }
 
     // every DocumentChunk is embedded (`ecc/app/graphrag/workers.py:115-117`,
@@ -126,7 +150,9 @@ object Pipeline {
 
     stage("candidate_pairs") { c =>
       val emb = c.read("embeddings")
-      c.writeCounted("candidate_pairs", Resolution.candidatePairs(emb, cfg.er))
+      val pairs = Resolution.candidatePairs(emb, cfg.er)
+      if (cfg.incrementalLayout) c.writeKeyedCounted("candidate_pairs", pairs, Seq("src"), cfg.erBuckets)
+      else c.writeCounted("candidate_pairs", pairs)
     }
 
     stage("resolves_to") { c =>
@@ -148,40 +174,263 @@ object Pipeline {
       c.writeCounted("type_relationships", Lift.typeRelationships(triples, types).toDF())
     }
 
-    stage("communities") { c =>
-      import org.apache.spark.sql.functions.{col, lit}
-      val rt = c.read("resolved_triples")
-      val res = c.read("resolves_to")
-      val louv = graft.community.Louvain.run(rt,
-        allEntities = Some(res.select(col("canonical_id")).distinct()))
-      val descs = graft.community.Summarize.describeAll(
-        louv.levels, c.read("entities"), res.as[ResolvesTo].toDF())
-      val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
-        .join(descs, Seq("community_id", "iteration"), "left")
-      val nComms = c.writeCounted("communities", comms)
-      c.write("in_community", louv.levels.head.membership
-        .toDF("canonical_id", "community_id"))
-      if (louv.levels.size > 1)
-        c.write("has_parent", louv.levels.tail.map(_.membership).reduce(_ unionByName _)
-          .toDF("community_id", "parent_id"))
-      else
-        c.write("has_parent", spark.emptyDataFrame
-          .withColumn("community_id", lit("")).withColumn("parent_id", lit("")).limit(0))
-      c.write("links_to", louv.levels.map(_.linksTo).reduce(_ unionByName _))
-      c.write("modularity",
-        louv.modularities.zipWithIndex
-          .map { case (q, i) => (i + 1, q) }.toDF("iteration", "modularity"))
-      nComms
-    }
+    stage("communities")(c => buildCommunities(c, spark))
 
     // community summaries are embedded like the reference's embed pass over
     // community descriptions (`workers.py:530-560`) — Q4 vector seeding
-    stage("community_embeddings") { c =>
-      val comms = c.read("communities")
-        .na.fill("", Seq("description"))
-      c.writeCounted("community_embeddings",
-        graft.extract.Embeddings.embedText(comms, "community_id", "description", cfg.er.dim))
+    stage("community_embeddings")(c => buildCommunityEmbeddings(c, cfg))
+
+    Result(cat, results.result())
+  }
+
+  /** Louvain levels + summaries + membership/hierarchy tables — shared by
+    * [[run]] and [[runIncremental]] (graph algorithms are global recomputes
+    * in the reference too: every ECC pass re-runs Louvain over the full
+    * resolved graph, `graph_rag.py:573-598`).
+    */
+  private def buildCommunities(c: Catalog, spark: SparkSession): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rt = c.read("resolved_triples")
+    val res = c.read("resolves_to")
+    val louv = graft.community.Louvain.run(rt,
+      allEntities = Some(res.select(col("canonical_id")).distinct()))
+    val descs = graft.community.Summarize.describeAll(
+      louv.levels, c.read("entities"), res.as[ResolvesTo].toDF())
+    val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
+      .join(descs, Seq("community_id", "iteration"), "left")
+    val nComms = c.writeCounted("communities", comms)
+    c.write("in_community", louv.levels.head.membership
+      .toDF("canonical_id", "community_id"))
+    if (louv.levels.size > 1)
+      c.write("has_parent", louv.levels.tail.map(_.membership).reduce(_ unionByName _)
+        .toDF("community_id", "parent_id"))
+    else
+      c.write("has_parent", spark.emptyDataFrame
+        .withColumn("community_id", lit("")).withColumn("parent_id", lit("")).limit(0))
+    c.write("links_to", louv.levels.map(_.linksTo).reduce(_ unionByName _))
+    c.write("modularity",
+      louv.modularities.zipWithIndex
+        .map { case (q, i) => (i + 1, q) }.toDF("iteration", "modularity"))
+    nComms
+  }
+
+  private def buildCommunityEmbeddings(c: Catalog, cfg: Config): Long = {
+    val comms = c.read("communities").na.fill("", Seq("description"))
+    c.writeCounted("community_embeddings",
+      graft.extract.Embeddings.embedText(comms, "community_id", "description", cfg.er.dim))
+  }
+
+  /** INCREMENTAL run — the reference's actual operating mode: the eventual-
+    * consistency loop re-scans for dirty documents, processes ONLY those,
+    * and upserts into the standing tables
+    * (`ecc/app/eventual_consistency_checker.py:304-318`,
+    * `ecc/app/graphrag/graph_rag.py:145-207`). Spark re-expression:
+    *
+    *   O(delta) stages — dirty pages (C6 anti-join) → delta chunks →
+    *   delta extraction → MERGE entities (SET-union descriptions, min-type) /
+    *   entity_types / append mentions+triples+chunk_embeddings → re-embed
+    *   ONLY entities whose rows changed (the row-level V2 reuse guard:
+    *   unchanged entities keep their stored vectors) → re-sign only changed
+    *   entities against the persisted lsh_sigs index → recompute candidate
+    *   pairs ONLY for affected sources (changed ∪ old-pair partners ∪ new
+    *   co-bucket partners ∪ members of flood-cap-flipped buckets — the exact
+    *   set whose top-k could differ) and patch them in via replaceByKey.
+    *
+    *   Global recomputes (same as every reference ECC pass) — connected
+    *   components over the (bounded) candidate-pair graph, canonical pick,
+    *   triple lifting, type frequencies, Louvain. Their inputs are the edge/
+    *   mapping tables, not the corpus; at 10^12 docs the corpus-proportional
+    *   work above is the cost that matters.
+    *
+    * Output tables are IDENTICAL to a full run over old ∪ new pages
+    * (PipelineSpec asserts hash equality) while extraction touches only the
+    * delta. Re-runs of the same batch are no-ops at the pages gate (dirty
+    * set goes empty); use a fresh runId per batch so lineage rows stay
+    * distinguishable.
+    */
+  def runIncremental(spark: SparkSession, cfg: Config, newPages: Dataset[Page],
+      extractor: Extractor = new RuleExtractor): Result = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cat = new Catalog(cfg.outDir, spark)
+    require(cat.exists("pages"), "runIncremental needs a prior full run (pages table missing)")
+    val results = Vector.newBuilder[StageResult]
+    var upstream = Pipeline.sha(s"${cfg.fingerprintBase}|incremental|${cfg.runId}")
+
+    def stage(name: String)(build: Catalog => Long): Unit = {
+      upstream = Pipeline.sha(s"$upstream/$name")
+      results += Catalog.stage(cat, cfg.runId, name, upstream, cfg.resume)(build(cat))
     }
+
+    /** extraction rows of this run's delta chunks */
+    def deltaExtracted(c: Catalog): Dataset[ExtractedGraphDoc] = {
+      val deltaChunkIds = c.read("chunks")
+        .join(c.read("delta_docs"), Seq("doc_id"), "left_semi")
+        .select(col("chunk_id"))
+      c.read("extracted").join(deltaChunkIds, Seq("chunk_id"), "left_semi")
+        .as[ExtractedGraphDoc]
+    }
+
+    stage("incr_pages") { c =>
+      // C6 Check_Nonexistent_Vertices: the dirty set = pages whose doc_id is
+      // not yet ingested (the absence-from-table form of epoch_processed=0)
+      val existingIds = GraphAssembly.docs(c.read("pages").as[Page]).select($"doc_id")
+      val dirtyIds = GraphAssembly.docs(newPages).select($"doc_id").distinct()
+        .join(existingIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      c.write("delta_docs", dirtyIds)
+      val dirtyPages = newPages.toDF()
+        .join(dirtyIds.withColumnRenamed("doc_id", "__did"),
+          lower($"url") === $"__did", "left_semi")
+      c.appendCounted("pages", dirtyPages)
+    }
+
+    stage("incr_chunks") { c =>
+      val dirtyDocs = GraphAssembly.docs(c.read("pages").as[Page])
+        .join(c.read("delta_docs"), Seq("doc_id"), "left_semi").as[Doc]
+      c.appendCounted("chunks",
+        GraphAssembly.chunks(dirtyDocs, chunkerFor(cfg)).toDF())
+    }
+
+    stage("incr_extracted") { c =>
+      val deltaChunks = c.read("chunks")
+        .join(c.read("delta_docs"), Seq("doc_id"), "left_semi").as[Chunk]
+      c.appendCounted("extracted",
+        GraphAssembly.extractAll(deltaChunks, extractor).toDF())
+    }
+
+    stage("incr_entities") { c =>
+      val de = GraphAssembly.entities(deltaExtracted(c)).toDF().localCheckpoint(true)
+      c.write("delta_entities", de.select($"entity_id"))
+      // merge semantics = the full-run aggregate, associatively split:
+      // descriptions: sorted distinct union == sort(collect_set(all));
+      // entity_type: min over non-empty observed types, "" if none
+      val typeMerge: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column =
+        (o, n) => when(o === "", n).when(n === "", o).otherwise(least(o, n))
+      c.mergeAuto("entities", de, Seq("entity_id"),
+        setUnionCols = Seq("descriptions"),
+        mergeExprs = Map("entity_type" -> typeMerge), nBuckets = cfg.erBuckets)
+      de.count()
+    }
+
+    stage("incr_entity_types") { c =>
+      val dt = GraphAssembly.entityTypes(deltaExtracted(c)).localCheckpoint(true)
+      c.mergeAuto("entity_types", dt, Seq("entity_id", "type_id"), nBuckets = cfg.erBuckets)
+      dt.count()
+    }
+
+    stage("incr_mentions") { c =>
+      c.appendCounted("mentions", GraphAssembly.mentions(deltaExtracted(c)).toDF())
+    }
+
+    stage("incr_triples") { c =>
+      c.appendCounted("triples", GraphAssembly.triples(deltaExtracted(c)).toDF())
+    }
+
+    // row-level embedding reuse (V2, `graph_rag.py:226-228`): only entities
+    // whose merged row changed this batch are re-embedded — their description
+    // set may have grown, which can change the embedding input (the sorted
+    // first description). Everyone else keeps their stored vector.
+    stage("incr_embeddings") { c =>
+      val changed = c.read("delta_entities")
+      val rows = c.read("entities").join(changed, Seq("entity_id"), "left_semi").as[Entity]
+      c.mergeAuto("embeddings", Resolution.embedEntities(rows, cfg.er),
+        Seq("entity_id"), nBuckets = cfg.erBuckets)
+      changed.count()
+    }
+
+    stage("incr_chunk_embeddings") { c =>
+      val deltaChunks = c.read("chunks")
+        .join(c.read("delta_docs"), Seq("doc_id"), "left_semi")
+      c.appendCounted("chunk_embeddings",
+        graft.extract.Embeddings.embedText(deltaChunks, "chunk_id", "text", cfg.er.dim))
+    }
+
+    stage("incr_candidate_pairs") { c =>
+      val p = cfg.er
+      val changed = c.read("delta_entities").localCheckpoint(true)
+      val embAll = c.read("embeddings")
+      if (!c.exists("lsh_sigs")) {
+        // bootstrap: the prior full run kept no blocking index — sign the
+        // corpus once, recompute pairs fully, persist the index for next time
+        c.writeKeyedCounted("lsh_sigs", Resolution.signatures(embAll, p),
+          Seq("entity_id", "band"), cfg.erBuckets)
+        val pairs = Resolution.candidatePairs(embAll, p)
+        if (c.isBucketed("candidate_pairs"))
+          c.writeKeyedCounted("candidate_pairs", pairs, Seq("src"), cfg.erBuckets)
+        else c.writeCounted("candidate_pairs", pairs)
+      } else {
+        // everything derived from the OLD index is planned (and the delta
+        // materialized) BEFORE any table is rewritten
+        val oldSigs = c.read("lsh_sigs")
+        val changedEmb = embAll.join(changed, Seq("entity_id"), "left_semi")
+        val newSigsChanged = Resolution.signatures(changedEmb, p).localCheckpoint(true)
+        val sigsUpdated = oldSigs.join(changed, Seq("entity_id"), "left_anti")
+          .unionByName(newSigsChanged)
+
+        // affected sources = every src whose candidate top-k could differ:
+        //   (a) changed entities themselves;
+        //   (b) srcs holding an old pair to a changed dst (score/rank moved);
+        //   (c) entities co-bucketed with a changed entity under NEW sigs
+        //       (a pair may appear);
+        //   (d) members (old or new) of buckets whose flood-cap status
+        //       flipped (their whole bucket joins/leaves the blocking).
+        val oldPairSrcs = c.read("candidate_pairs")
+          .join(changed.withColumnRenamed("entity_id", "dst"), Seq("dst"), "left_semi")
+          .select($"src".as("entity_id"))
+        val partners = sigsUpdated
+          .join(broadcast(newSigsChanged.select($"band", $"sig").distinct()),
+            Seq("band", "sig"), "left_semi")
+          .select($"entity_id")
+        val oldCounts = oldSigs.groupBy($"band", $"sig").agg(count(lit(1)).as("n_old"))
+        val newCounts = sigsUpdated.groupBy($"band", $"sig").agg(count(lit(1)).as("n_new"))
+        val flipped = oldCounts.join(newCounts, Seq("band", "sig"), "full_outer")
+          .where((coalesce($"n_old", lit(0L)) <= p.maxBucket) =!=
+            (coalesce($"n_new", lit(0L)) <= p.maxBucket))
+          .select($"band", $"sig")
+        val flippedMembers = sigsUpdated.join(flipped, Seq("band", "sig"), "left_semi")
+          .select($"entity_id")
+          .unionByName(oldSigs.join(flipped, Seq("band", "sig"), "left_semi")
+            .select($"entity_id"))
+        val affected = changed.unionByName(oldPairSrcs).unionByName(partners)
+          .unionByName(flippedMembers).distinct().localCheckpoint(true)
+
+        val pairsAff = Resolution.candidatePairsFor(affected, sigsUpdated, embAll, p)
+          .localCheckpoint(true)
+
+        // commit: patch the index, then replace affected srcs' pair row-sets
+        c.mergeAuto("lsh_sigs", newSigsChanged, Seq("entity_id", "band"),
+          nBuckets = cfg.erBuckets)
+        c.replaceByKey("candidate_pairs", "src",
+          affected.withColumnRenamed("entity_id", "src"), pairsAff, cfg.erBuckets)
+        pairsAff.count()
+      }
+    }
+
+    // global graph stages: recomputed per pass like the reference's ECC loop;
+    // inputs are the pair/mapping/edge tables, not the corpus
+    stage("incr_resolves_to") { c =>
+      c.writeCounted("resolves_to",
+        Resolution.resolvesTo(c.read("entities").as[Entity],
+          c.read("candidate_pairs")).toDF())
+    }
+
+    stage("incr_resolved_triples") { c =>
+      c.writeCounted("resolved_triples",
+        Lift.resolvedTriples(c.read("triples").as[Triple],
+          c.read("resolves_to").as[ResolvesTo]).toDF(), cfg.shufflePartitions)
+    }
+
+    stage("incr_type_relationships") { c =>
+      c.writeCounted("type_relationships",
+        Lift.typeRelationships(c.read("triples").as[Triple],
+          c.read("entity_types")).toDF())
+    }
+
+    stage("incr_communities")(c => buildCommunities(c, spark))
+    stage("incr_community_embeddings")(c => buildCommunityEmbeddings(c, cfg))
 
     Result(cat, results.result())
   }

@@ -158,6 +158,52 @@ object Resolution {
       .drop("rank")
   }
 
+  /** Sign-RP band signatures of an embeddings frame — the SAME hyperplanes
+    * and banding as [[candidatePairs]], exposed so incremental runs can
+    * PERSIST the blocking index (lsh_sigs table) and re-sign only changed
+    * entities.
+    */
+  def signatures(embeddings: DataFrame, p: Params): DataFrame = debugSigs(embeddings, p)
+
+  /** Candidate pairs restricted to `affected` source entities, computed from
+    * a PERSISTED signature index instead of re-signing the corpus — the
+    * incremental-run ER primitive. Per-src results are independent in
+    * [[candidatePairs]] (src's neighbor set = entities sharing ≥1 uncapped
+    * (band, sig) bucket at cosine ≥ threshold, top-(k−1) by (cos desc, dst)),
+    * so for every src ∈ affected this returns EXACTLY the rows a full
+    * candidatePairs over the same embeddings would — the identity the
+    * incremental PipelineSpec asserts. The affected side is delta-sized and
+    * broadcast into the bucket join; the corpus side is the narrow sigs
+    * index, never the embeddings.
+    */
+  def candidatePairsFor(affected: DataFrame, sigs: DataFrame, embeddings: DataFrame,
+      p: Params): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    // global flood cap — identical to candidatePairs' bucket prune
+    val capped = sigs
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy($"band", $"sig")))
+      .where($"bucket_n" <= p.maxBucket)
+      .drop("bucket_n")
+    val l = capped.join(broadcast(affected.select($"entity_id").distinct()),
+        Seq("entity_id"), "left_semi")
+      .select($"band", $"sig", $"entity_id".as("src"))
+    val r = capped.select($"band", $"sig", $"entity_id".as("dst"))
+    val cand = broadcast(l).join(r, Seq("band", "sig"))
+      .where($"src" =!= $"dst")
+      .select("src", "dst").dropDuplicates("src", "dst")
+    val scored = cand
+      .join(embeddings.select($"entity_id".as("src"), $"embedding".as("emb_a")), "src")
+      .join(embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b")), "dst")
+      .withColumn("cos", graft.operators.Similarity.cosineFast($"emb_a", $"emb_b"))
+      .where($"cos" >= lit(p.cosineThreshold - 1e-6))
+      .select($"src", $"dst", $"cos")
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= p.topK - 1)
+      .drop("rank")
+  }
+
   /** Connected components, two-level (SURVEY.md §4.2 + bench profiling):
     *
     *   1. hash-partition the (symmetrized) edges by src and run union-find

@@ -119,4 +119,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages >= 12)
     assert(lin.where(col("rows_out") < 0).count() == 0)
   }
+
+  test("incremental run over a new crawl batch == full run over the union corpus") {
+    val nBase = 200
+    val nAll = 280
+    val union = CorpusSynth.Config(seed = 42L, nPages = nAll, nClusters = 24)
+
+    // ground truth: one full run over the union corpus
+    val fullCfg = Pipeline.Config(corpus = union,
+      er = graft.resolve.Resolution.Params(dim = 512),
+      outDir = tmpDir("incr-full"), runId = "full")
+    val full = Pipeline.run(spark, fullCfg)
+
+    // base run over the first nBase pages in the O(delta) bucketed layout,
+    // then one incremental batch with the remaining pages
+    val baseCfg = fullCfg.copy(corpus = union.copy(nPages = nBase),
+      outDir = tmpDir("incr-base"), runId = "base",
+      incrementalLayout = true, erBuckets = 16)
+    Pipeline.run(spark, baseCfg)
+    val newBatch = CorpusSynth.pagesRange(spark, union, nBase, nAll)
+    val incr = Pipeline.runIncremental(spark, baseCfg.copy(runId = "delta"), newBatch)
+
+    // the expensive stages touched ONLY the delta
+    def rowsOf(stage: String): Long = incr.stages.find(_.stage == stage).get.rows
+    val fullChunks = full.catalog.read("chunks").count()
+    assert(rowsOf("incr_extracted") == rowsOf("incr_chunks"),
+      "extraction ran exactly once per delta chunk")
+    assert(rowsOf("incr_chunks") < fullChunks / 2,
+      s"delta chunk count ${rowsOf("incr_chunks")} must be a strict fraction of $fullChunks")
+    assert(rowsOf("incr_pages") == (nAll - nBase).toLong)
+
+    // every standing table is IDENTICAL to the full union run
+    def assertSame(table: String, cols: Seq[String] = Nil): Unit = {
+      val a0 = full.catalog.read(table)
+      val sel = if (cols.nonEmpty) cols else a0.columns.toSeq
+      val a = a0.select(sel.map(col): _*)
+      val b = incr.catalog.read(table).select(sel.map(col): _*)
+      assert(a.count() == b.count(), s"$table row count differs")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$table content differs")
+    }
+    Seq("chunks", "entities", "entity_types", "embeddings", "chunk_embeddings",
+      "mentions", "triples", "candidate_pairs", "resolves_to", "resolved_triples",
+      "type_relationships", "communities", "in_community", "has_parent",
+      "modularity").foreach(t => assertSame(t))
+    assertSame("pages", Seq("url", "text", "lang"))
+
+    // re-running the same batch is a no-op at the dirty gate
+    val again = Pipeline.runIncremental(spark, baseCfg.copy(runId = "delta2"), newBatch)
+    assert(again.stages.find(_.stage == "incr_pages").get.rows == 0L)
+    assertSame("resolved_triples")
+  }
 }
