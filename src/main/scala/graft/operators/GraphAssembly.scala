@@ -37,6 +37,36 @@ object GraphAssembly {
     }
   }
 
+  /** K5 per-document chunker dispatch (`ecc/app/graphrag/workers.py:89-96`,
+    * `ecc/app/ecc_util.py:15-42`): each document's `ctype` attribute selects
+    * its chunker; a null/blank ctype falls back to `defaultCtype`. Takes a
+    * frame with (doc_id, text[, ctype]) — a mixed corpus (html + markdown +
+    * plain) chunks faithfully in ONE narrow pass; chunkers are constructed
+    * once per (partition, ctype), not per row. Identical output to
+    * [[chunks]] when every ctype is the default (ChunkersSpec asserts it).
+    */
+  def chunksByCtype(docs: DataFrame, defaultCtype: String = "regex",
+      characterChunkSize: Int = 1024, characterOverlap: Int = 0): Dataset[Chunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withC =
+      if (docs.columns.contains("ctype")) docs.select($"doc_id", $"text", $"ctype")
+      else docs.select($"doc_id", $"text", lit(null).cast("string").as("ctype"))
+    withC.as[(String, String, Option[String])]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, graft.chunk.Chunker]
+        it.flatMap { case (id, text, ct) =>
+          val t = ct.map(_.toLowerCase.trim).filter(_.nonEmpty).getOrElse(defaultCtype)
+          val chunker = cache.getOrElseUpdate(t,
+            graft.chunk.Chunkers.forType(t, characterChunkSize, characterOverlap))
+          val decoded = Normalize.unicodeUnescape(text)
+          chunker.chunk(decoded).iterator.zipWithIndex.map { case (c, i) =>
+            Chunk(id, i, s"${id}_chunk_$i", c)
+          }
+        }
+      }
+  }
+
   /** chunks → per-chunk extraction results. mapPartitions so an expensive
     * extractor (a pooled model client in production) is constructed once per
     * partition — the Spark analogue of the reference's 20-way semaphore pool

@@ -193,55 +193,68 @@ object Similarity {
           else math.max(4, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
         kmeansPivots(corpus, n, iters = 2, seed = p.seed, idCol, embCol)
     }
-    val bc = spark.sparkContext.broadcast(pivotArr)
-    def cosRaw(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      val n = math.min(a.length, b.length); var i = 0
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    val assigned = assignClusters(corpus, pivotArr, idCol, embCol)
+    val probes = probeClusters(queries, pivotArr, p.nProbe, idCol, embCol)
+    scoreProbes(assigned, probes, k)
+  }
 
-    // cluster assignment: argmax over pivots, ties to the smaller pivot id
-    // (ascending scan + strict improvement). At warehouse scale this frame is
-    // what you MATERIALIZE once, `partitionBy("cluster")`, so each probe
-    // prunes to nProbe/nPivots of the files at scan time — the cluster id is
-    // deliberately a plain column, not an internal detail.
-    val assigned = corpus.select(col(idCol).cast("long"), col(embCol))
+  /** Cluster assignment: argmax over pivots, ties to the smaller pivot id
+    * (ascending scan + strict improvement). At warehouse scale this frame is
+    * what you MATERIALIZE once, `partitionBy("cluster")` — see
+    * [[IvfIndex.build]] — so each probe prunes to nProbe/nPivots of the
+    * files at scan time; the cluster id is deliberately a plain column.
+    * Output: (neighbor_id, c_emb, cluster).
+    */
+  def assignClusters(corpus: DataFrame, pivotArr: Array[(Long, Array[Float])],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pivotArr)
+    corpus.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val ps = bc.value
         it.map { case (id, v) =>
           var best = 0.0 - 2.0; var bestId = -1L; var j = 0
           while (j < ps.length) {
-            val c = cosRaw(v, ps(j)._2)
+            val c = cosRawStatic(v, ps(j)._2)
             if (c > best) { best = c; bestId = ps(j)._1 }
             j += 1
           }
           (id, v, bestId)
         }
       }.toDF("neighbor_id", "c_emb", "cluster")
+  }
 
-    // query -> its nProbe nearest clusters (same tie rule)
-    val nProbe = p.nProbe
-    val probes = queries.select(col(idCol).cast("long"), col(embCol))
+  /** Each query's nProbe nearest clusters (same tie rule as assignment).
+    * Output: (query_id, q_emb, cluster).
+    */
+  def probeClusters(queries: DataFrame, pivotArr: Array[(Long, Array[Float])],
+      nProbe: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pivotArr)
+    queries.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val ps = bc.value
-        ps.map { case (pid, pe) => (cosRaw(v, pe), pid) }
+        ps.map { case (pid, pe) => (cosRawStatic(v, pe), pid) }
           .sortBy { case (c, pid) => (-c, pid) }
           .take(nProbe)
           .map { case (_, pid) => (id, v, pid) }
       }.toDF("query_id", "q_emb", "cluster")
+  }
 
-    val scored = assigned.join(probes, "cluster")
-      .withColumn("cos", cosineFast($"q_emb", $"c_emb"))
+  /** Score probed clusters and keep per-query top-k (shared tail of the
+    * in-memory and materialized-index paths).
+    */
+  def scoreProbes(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = assigned.join(broadcast(probes), "cluster")
+      .withColumn("cos", cosineFast(col("q_emb"), col("c_emb")))
     scored.withColumn("rank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")))
-      .where($"rank" <= k)
-      .select($"query_id", $"rank".cast("long").as("rank"), $"neighbor_id",
-        round($"cos", 6).as("cos"))
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
   }
 }

@@ -84,9 +84,7 @@ object Pipeline {
     }
 
     stage("chunks") { c =>
-      val pages = c.read("pages").as[Page]
-      val chunks = GraphAssembly.chunks(GraphAssembly.docs(pages), chunkerFor(cfg))
-      c.writeCounted("chunks", chunks.toDF())
+      c.writeCounted("chunks", chunkStage(c, cfg, spark, None).toDF())
     }
 
     stage("extracted") { c =>
@@ -181,6 +179,32 @@ object Pipeline {
     stage("community_embeddings")(c => buildCommunityEmbeddings(c, cfg))
 
     Result(cat, results.result())
+  }
+
+  /** Chunking over the pages table — shared by [[run]] and
+    * [[runIncremental]]. When the input table carries a `ctype` column the
+    * chunker is dispatched PER DOCUMENT (reference `workers.py:89-96`:
+    * the Content vertex's ctype attribute selects the chunker, falling back
+    * to the config default) — a mixed html/markdown corpus chunks
+    * faithfully. Without the column, one global chunker applies as before.
+    */
+  private def chunkStage(c: Catalog, cfg: Config, spark: SparkSession,
+      deltaDocIds: Option[org.apache.spark.sql.DataFrame]): Dataset[graft.model.Chunk] = {
+    import spark.implicits._
+    val pagesDf = c.read("pages")
+    if (pagesDf.columns.contains("ctype")) {
+      val docs0 = pagesDf.select($"url", $"text", $"ctype").as[(String, String, String)]
+        .map { case (u, t, ct) => (graft.functions.Normalize.docId(u), t, ct) }
+        .toDF("doc_id", "text", "ctype")
+      val docs = deltaDocIds.map(d => docs0.join(d, Seq("doc_id"), "left_semi")).getOrElse(docs0)
+      GraphAssembly.chunksByCtype(docs, cfg.chunkerType,
+        cfg.characterChunkSize, cfg.characterOverlap)
+    } else {
+      val docs0 = GraphAssembly.docs(pagesDf.as[Page])
+      val docs = deltaDocIds
+        .map(d => docs0.toDF().join(d, Seq("doc_id"), "left_semi").as[Doc]).getOrElse(docs0)
+      GraphAssembly.chunks(docs, chunkerFor(cfg))
+    }
   }
 
   /** Louvain levels + summaries + membership/hierarchy tables — shared by
@@ -287,10 +311,8 @@ object Pipeline {
     }
 
     stage("incr_chunks") { c =>
-      val dirtyDocs = GraphAssembly.docs(c.read("pages").as[Page])
-        .join(c.read("delta_docs"), Seq("doc_id"), "left_semi").as[Doc]
       c.appendCounted("chunks",
-        GraphAssembly.chunks(dirtyDocs, chunkerFor(cfg)).toDF())
+        chunkStage(c, cfg, spark, Some(c.read("delta_docs"))).toDF())
     }
 
     stage("incr_extracted") { c =>
