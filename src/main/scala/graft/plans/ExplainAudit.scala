@@ -97,7 +97,27 @@ object ExplainAudit {
         Seq("EqualTo(modality,image)", "IsNotNull(width)", "IsNotNull(height)",
           "GreaterThanOr"),
         "meta predicates must reach the parquet scan BEFORE payload decode " +
-          "(r1 used a typed lambda filter that deserialized every payload)")
+          "(r1 used a typed lambda filter that deserialized every payload)"),
+
+      Check("IVF index probe prunes partitions",
+        s => {
+          import s.implicits._
+          val rng = new scala.util.Random(7)
+          val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+          val corpus = (0L until 400L).map { i =>
+            val c = centers((i % 8).toInt)
+            (i, c.map(x => x + 0.05f * rng.nextGaussian().toFloat))
+          }.toDF("vec_id", "embedding")
+          val dir = java.nio.file.Files.createTempDirectory("graft-ivf-audit").toString
+          graft.operators.IvfIndex.build(corpus, dir,
+            graft.operators.Similarity.IvfParams(nPivots = 16))
+          graft.operators.IvfIndex.topK(s, dir, corpus.where($"vec_id" === 3),
+            k = 5, nProbe = 2)
+        },
+        // the probed-cluster literal must land in PartitionFilters (pruning
+        // at file-listing time), not in a post-scan Filter
+        Seq("PartitionFilters: [cluster"),
+        "materialized IVF probes scan only the probed clusters' partitions")
     )
 
     var failures = 0
