@@ -548,6 +548,30 @@ object SparkEntry {
       Retrieval.contentSimilaritySearch(withEmb, kgProbeVec(s), topK = 15)
     }),
 
+    "kg_content_fetch" -> ((s, d) => {
+      // Q2's NON-vector form (`Content_Similarity_Search.gsql:29-47`): seeds
+      // arrive as explicit (id, type) pairs, no embedding involved; each
+      // fetches its content by type
+      val st = kg(s, d)
+      val chunks = st.chunks.toDF().localCheckpoint(true)
+      val chunkSeeds = chunks.orderBy(col("chunk_id")).limit(3)
+        .select(col("chunk_id")).collect().map(r => (r.getString(0), "DocumentChunk"))
+      val entitySeeds = st.entities.toDF().orderBy(col("entity_id")).limit(2)
+        .select(col("entity_id")).collect().map(r => (r.getString(0), "Entity"))
+      val docSeeds = st.docs.toDF().orderBy(col("doc_id")).limit(1)
+        .select(col("doc_id")).collect().map(r => (r.getString(0), "Document"))
+      val commSeeds = st.louvain.levels.head.communities
+        .orderBy(col("community_id")).limit(1)
+        .select(col("community_id")).collect().map(r => (r.getString(0), "Community"))
+      val comms = st.louvain.levels.map(_.communities).reduce(_ unionByName _)
+        .join(st.communityDescriptions, Seq("community_id", "iteration"), "left")
+        .na.fill("", Seq("description"))
+      Retrieval.contentFetch(
+        (chunkSeeds ++ entitySeeds ++ docSeeds ++ commSeeds).toSeq,
+        chunks, st.docs.toDF(), st.entities.toDF(), comms)
+        .orderBy(col("vtype"), col("id"))
+    }),
+
     "kg_sibling_vector_search" -> ((s, d) => {
       val st = kg(s, d)
       Retrieval.siblingVectorSearch(

@@ -203,6 +203,41 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Q2 non-vector variant `Content_Similarity_Search`
+    * (`Content_Similarity_Search.gsql:29-47`): the retriever's id-seeded
+    * form — a JSON list of (vertex id, type) seeds, no vector at all; each
+    * seed fetches its content by type: DocumentChunk/Document → the
+    * Content vertex's text (our chunk/doc text lives on the same row),
+    * Entity/Concept → the definition (our sorted description set, "; "
+    * joined), Community → its description. Unknown ids fetch nothing (the
+    * GSQL traversal simply finds no edge).
+    *
+    * @param seeds (id, vtype) with vtype ∈ {DocumentChunk, Document,
+    *              Entity, Concept, Community}
+    * @return (id, vtype, content)
+    */
+  def contentFetch(seeds: Seq[(String, String)], chunks: DataFrame,
+      docs: DataFrame, entities: DataFrame, communities: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    require(seeds.nonEmpty, "need at least one (id, type) seed")
+    val seedDf = seeds.toDF("id", "vtype")
+    def ofType(t: String) = seedDf.where($"vtype" === t)
+    val chunkRows = ofType("DocumentChunk")
+      .join(chunks.select($"chunk_id".as("id"), $"text".as("content")), "id")
+    val docRows = ofType("Document")
+      .join(docs.select($"doc_id".as("id"), $"text".as("content")), "id")
+    val entityContent = entities.select($"entity_id".as("id"),
+      concat_ws("; ", $"descriptions").as("content"))
+    val entityRows = ofType("Entity").join(entityContent, "id")
+    val conceptRows = ofType("Concept").join(entityContent, "id")
+    val communityRows = ofType("Community")
+      .join(communities.select($"community_id".as("id"), $"description".as("content")), "id")
+    chunkRows.unionByName(docRows).unionByName(entityRows)
+      .unionByName(conceptRows).unionByName(communityRows)
+      .select($"id", $"vtype", $"content")
+  }
+
   // ------------------------------------------------- typed hybrid search
 
   /** Typed-vertex prefixes: one string namespace for the hybrid BFS without
@@ -283,7 +318,18 @@ object Retrieval {
 
     val e = edges.select($"src", $"dst").localCheckpoint(true)
     val seeds = seedVertexIds.distinct
-    var parents = seeds.map(s => (s, s)).toDF("v", "parent").localCheckpoint(true)
+    // ancestor state is split by what actually reads it:
+    //   guardAnc (v, parent) — the cycle guard's full ancestor set, kept ONLY
+    //     for vertices that can still expand (@visited < 1 means a vertex
+    //     expands at most once, so a visited vertex's guard set is dead) —
+    //     pruning it per hop removes the dense-graph product term r2 carried
+    //     for every interior vertex;
+    //   seedAnc (v, seed) — ancestors ∩ seeds, for the final per-seed
+    //     attribution (`:60-66` FOREACH v IN s.@parents IF v IN start_set
+    //     only ever consults seeds) — grows for visited vertices too, but is
+    //     bounded by |reached| × |seeds| instead of |reached|².
+    var guardAnc = seeds.map(s => (s, s)).toDF("v", "parent").localCheckpoint(true)
+    var seedAnc = seeds.map(s => (s, s)).toDF("v", "seed").localCheckpoint(true)
     var seen = seeds.map(s => (s, numSeenMin)).toDF("v", "cnt")
     var visited = spark.emptyDataset[String].toDF("v")
     var frontier = seeds.toDF("v")
@@ -298,7 +344,7 @@ object Retrieval {
       val arr = e.join(active, "src")
       // cycle guard: target not among the source's ancestors
       val arrOk = arr.join(
-          parents.select($"v".as("src"), $"parent".as("dst")), Seq("src", "dst"), "left_anti")
+          guardAnc.select($"v".as("src"), $"parent".as("dst")), Seq("src", "dst"), "left_anti")
         .localCheckpoint(true)
       if (arrOk.isEmpty) done = true
       else {
@@ -306,21 +352,24 @@ object Retrieval {
           .distinct().localCheckpoint(true)
         seen = seen.unionByName(arrOk.groupBy($"dst".as("v")).agg(count(lit(1)).as("cnt")))
           .groupBy($"v").agg(sum($"cnt").as("cnt"))
-        val parentsNew = arrOk.select($"dst".as("v"), $"src".as("parent"))
-          .unionByName(arrOk.join(parents.withColumnRenamed("v", "src"), "src")
+        val guardNew = arrOk.select($"dst".as("v"), $"src".as("parent"))
+          .unionByName(arrOk.join(guardAnc.withColumnRenamed("v", "src"), "src")
             .select($"dst".as("v"), $"parent"))
-        parents = parents.unionByName(parentsNew).distinct().localCheckpoint(true)
+        guardAnc = guardAnc.unionByName(guardNew).distinct()
+          .join(visited, Seq("v"), "left_anti") // visited vertices never expand again
+          .localCheckpoint(true)
+        val seedNew = arrOk.join(seedAnc.withColumnRenamed("v", "src"), "src")
+          .select($"dst".as("v"), $"seed")
+        seedAnc = seedAnc.unionByName(seedNew).distinct().localCheckpoint(true)
         frontier = arrOk.select($"dst".as("v")).distinct().localCheckpoint(true)
         reached = reached.unionByName(frontier).distinct()
       }
     }
 
     val surviving = reached.join(seen, "v").where($"cnt" >= numSeenMin)
-    val seedSet = seeds.toDF("seed_id")
     surviving
-      .join(parents, "v")
-      .join(seedSet, $"parent" === $"seed_id", "left_semi")
-      .select($"parent".as("seed_id"), $"v".as("vertex_id"),
+      .join(seedAnc, "v")
+      .select($"seed".as("seed_id"), $"v".as("vertex_id"),
         substring_index($"v", ":", 1).as("vtype"), $"cnt".as("num_times_seen"))
       .distinct()
   }

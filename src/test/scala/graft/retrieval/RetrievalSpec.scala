@@ -186,4 +186,23 @@ class RetrievalSpec extends AnyFunSuite {
       .select($"id").as[String].collect().toSeq
     assert(out == Seq("a", "b"))
   }
+
+  test("contentFetch: id-seeded content by vertex type (non-vector Q2)") {
+    val chunks = Seq(("k1", "chunk text"), ("k2", "other")).toDF("chunk_id", "text")
+    val docs = Seq(("d1", "doc text")).toDF("doc_id", "text")
+    val entities = Seq(("e1", Seq("z desc", "a desc")))
+      .toDF("entity_id", "descriptions")
+    val comms = Seq(("c1", "community desc")).toDF("community_id", "description")
+    val out = Retrieval.contentFetch(
+      Seq(("k1", "DocumentChunk"), ("d1", "Document"), ("e1", "Entity"),
+        ("e1", "Concept"), ("c1", "Community"), ("missing", "Entity")),
+      chunks, docs, entities, comms)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("k1", "DocumentChunk", "chunk text"),
+      ("d1", "Document", "doc text"),
+      ("e1", "Entity", "z desc; a desc"),
+      ("e1", "Concept", "z desc; a desc"),
+      ("c1", "Community", "community desc")))
+  }
 }
