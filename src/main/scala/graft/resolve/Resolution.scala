@@ -41,7 +41,16 @@ object Resolution {
       bits: Int = 12,
       maxBucket: Int = 1024,
       seed: Int = 42,
-      bruteForce: Boolean = false)
+      bruteForce: Boolean = false,
+      /** When the whole embeddings table fits under this many bytes
+        * (rows × dim × 4, probed with a limit-count — no unbounded collect),
+        * candidate scoring broadcasts an id→vector map and computes cosine
+        * map-side instead of two shuffle joins of 6 KB arrays + a large
+        * pre-filter dedup. Beyond the bound the shuffle-join path runs —
+        * same auto-routing contract as Dedup.embeddingPairs. Both paths are
+        * row-identical (same index-order double accumulation).
+        */
+      maxBroadcastBytes: Long = 256L << 20)
 
   /** Entity embeddings. Deterministic input: the first (sorted) non-empty
     * description, else the entity id — the reference embeds desc[0] or the id
@@ -137,9 +146,35 @@ object Resolution {
 
         val l = bucketed.select($"band", $"sig", $"entity_id".as("src"))
         val r = bucketed.select($"band", $"sig", $"entity_id".as("dst"))
-        val cand = l.join(r, Seq("band", "sig")).where($"src" < $"dst")
-          .select("src", "dst").dropDuplicates("src", "dst")
-        cand
+        val raw = l.join(r, Seq("band", "sig")).where($"src" < $"dst")
+          .select("src", "dst")
+
+        // probe the broadcast bound BEFORE any collect (limit-count, same
+        // guard shape as Dedup.embeddingPairs): 12-bit sign-RP bands over
+        // high-dim embeddings run ~40 false candidates per true pair
+        // (measured 825k → 19.7k at 150k pages), so when the id→vector map
+        // fits, scoring map-side and deduping AFTER the cosine filter beats
+        // two shuffle joins of 6 KB arrays plus an 825k-row dedup — the
+        // dedup input shrinks to the surviving pairs (≤ bands× smaller)
+        val maxRows = p.maxBroadcastBytes / (p.dim.toLong * 4L)
+        val inBound = embeddings.limit(maxRows.toInt + 1).count() <= maxRows
+        if (inBound) {
+          val vecMap = spark.sparkContext.broadcast(
+            embeddings.as[(String, Array[Float])].collect().toMap)
+          val thr = p.cosineThreshold - 1e-6
+          return raw.as[(String, String)]
+            .mapPartitions { it =>
+              val m = vecMap.value
+              it.flatMap { case (a, b) =>
+                val cos = cosRawOrdered(m(a), m(b))
+                if (cos >= thr) Iterator.single((a, b, cos)) else Iterator.empty
+              }
+            }
+            .toDF("src", "dst", "cos")
+            .dropDuplicates("src", "dst")
+            .transform(symTopK(_, p))
+        }
+        raw.dropDuplicates("src", "dst")
           .join(embeddings.select($"entity_id".as("src"), $"embedding".as("emb_a")), "src")
           .join(embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b")), "dst")
       }
@@ -149,13 +184,34 @@ object Resolution {
       .where($"cos" >= lit(p.cosineThreshold - 1e-6))
       .select($"src", $"dst", $"cos")
 
-    // both directions, then top-(k-1) per src: self always occupies one slot
+    symTopK(scored, p)
+  }
+
+  /** Both directions, then top-(k−1) per src: self always occupies one slot
+    * — the shared tail of the broadcast and shuffle-join scoring paths.
+    */
+  private def symTopK(scored: DataFrame, p: Params): DataFrame = {
     val sym = scored.unionByName(
-      scored.select($"dst".as("src"), $"src".as("dst"), $"cos"))
-    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst")
+      scored.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     sym.withColumn("rank", row_number().over(w))
-      .where($"rank" <= p.topK - 1)
+      .where(col("rank") <= p.topK - 1)
       .drop("rank")
+  }
+
+  /** Cosine with the exact accumulation order of
+    * [[graft.functions.CosineSimilarity]] (three index-order double
+    * accumulators, dot / (sqrt·sqrt)) — the broadcast scoring path must be
+    * bit-identical to the shuffle-join path's codegen'd expression.
+    */
+  @inline private def cosRawOrdered(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length); var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Sign-RP band signatures of an embeddings frame — the SAME hyperplanes
