@@ -348,6 +348,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // materialized-index parity gate: build the cluster-partitioned IVF
+    // index once, then assert that serving FROM the index (pruned partition
+    // scan) returns rows IDENTICAL to the in-memory path with the same
+    // pivots, over the same planted-cluster corpus as the recall gate. One
+    // constant row — any drift between the two paths flips the hash.
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      import s.implicits._
+      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
+        .localCheckpoint(true)
+      val qs = corpus.where(col("vec_id") % 500 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gate").toString
+      graft.operators.IvfIndex.build(corpus, dir)
+      val fromIndex = graft.operators.IvfIndex.topK(s, dir, qs, k = 5)
+      val pivots = s.read.parquet(graft.operators.IvfIndex.pivotsPath(dir))
+      val inMemory = Similarity.ivfTopK(corpus, qs, k = 5,
+        pivotsOverride = Some(pivots))
+      val diff = fromIndex.exceptAll(inMemory).count() + inMemory.exceptAll(fromIndex).count()
+      Seq((fromIndex.count(), diff == 0L)).toDF("n_rows", "paths_identical")
+    }),
+
     // recall gate: IVF top-k vs exact brute-force top-k, one row. The IVF
     // result itself is pivot-dependent (not SQL-expressible), so the oracle
     // pins the INVARIANT — aggregate recall@5 ≥ 0.9 — as a constant row
@@ -981,6 +1001,9 @@ object SparkEntry {
     // computed row deviates (see the matching queries for rationale)
     "q_ann_ivf_recall" ->
       """SELECT 10::BIGINT AS n_queries, true AS recall_ok""",
+
+    "q_ann_ivf_indexed" ->
+      """SELECT 50::BIGINT AS n_rows, true AS paths_identical""",
 
     "q_media_gate" ->
       """SELECT * FROM (VALUES
