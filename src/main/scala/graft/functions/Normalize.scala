@@ -40,11 +40,16 @@ object Normalize extends Serializable {
     */
   def processIdCol(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val s1 = lower(regexp_replace(regexp_replace(regexp_replace(
-      raw, " ", "_"), "/", ""), "%", "percent"))
+    // literal single-char edits use translate/replace (no regex engine):
+    // one translate maps ' '→'_' AND deletes '/'; the paren strip is a
+    // second translate. Only the greedy keep-before-last-'(' rule needs a
+    // real regex, and it stays behind the contains guard. This column is
+    // evaluated per extracted node/edge endpoint — the hottest scalar in
+    // the assembly stage (~3 sites × millions of occurrences per run).
+    val s1 = lower(replace(translate(raw, " /", "_"), lit("%"), lit("percent")))
     val s2 = when(s1.contains("("), regexp_extract(s1, "(.*)\\(", 1)).otherwise(s1)
     when(s2 === "''" || s2 === "\"\"", lit(""))
-      .otherwise(regexp_replace(regexp_replace(s2, "\\(", ""), "\\)", ""))
+      .otherwise(translate(s2, "()", ""))
   }
 
   /** Relation-type normalization: `replace(" ","_").upper()`

@@ -154,15 +154,18 @@ object GraphAssembly {
     // 128 distinct keys per task — at bench scale that sorted 58M rows.
     // (`Skew.saltedCollectSet` remains for set-aggregates whose DISTINCT
     // value count per key is itself web-hot.)
-    val descs = occ.select($"entity_id", $"description").distinct()
+    // ONE scan, TWO hash aggregations, NO join: level 1 groups by
+    // (entity, description) — the dedup — carrying min non-empty type per
+    // pair (min-of-min == global min); level 2 folds to one row per entity.
+    // The previous descs-side/types-side split re-read the occurrence
+    // subtree twice (Catalyst has no cross-join common-subplan reuse) and
+    // paid a 5th exchange for the join.
+    occ.groupBy($"entity_id", $"description")
+      .agg(min(when($"entity_type" =!= "", $"entity_type")).as("t"))
       .groupBy($"entity_id")
-      .agg(sort_array(collect_list($"description")).as("descriptions"))
-    val types = occ.where($"entity_type" =!= "")
-      .groupBy($"entity_id")
-      .agg(min($"entity_type").as("entity_type"))
-    descs.join(types, Seq("entity_id"), "left")
-      .select($"entity_id", $"descriptions",
-        coalesce($"entity_type", lit("")).as("entity_type"))
+      .agg(sort_array(collect_list($"description")).as("descriptions"),
+        min($"t").as("t"))
+      .select($"entity_id", $"descriptions", coalesce($"t", lit("")).as("entity_type"))
       .as[Entity]
   }
 
