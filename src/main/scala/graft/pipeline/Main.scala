@@ -10,6 +10,16 @@ import graft.resolve.Resolution
   * Usage (also runnable via `sbt "runMain graft.pipeline.Main ..."`):
   *   graft.pipeline.Main --out DIR [--pages N] [--clusters N] [--cores N]
   *     [--resume] [--run-id ID] [--dim N] [--chunker regex|character]
+  *     [--bucketed] [--incremental N]
+  *
+  * `--bucketed` writes the MERGE-target tables in the `_bucket=K` PK-hash
+  * layout, making later incremental commits O(delta). `--incremental N`
+  * drives the reference's actual operating mode (the ECC re-scan loop,
+  * `graph_rag.py:145-207`): it appends the NEXT N synthesized crawl pages
+  * to an existing `--out` dir via `Pipeline.runIncremental` — extraction
+  * touches only the delta, standing tables end identical to a full run
+  * over the union (PipelineSpec asserts hash equality). Pass the SAME
+  * --pages/--clusters as the base run (they name the base corpus).
   *
   * Prints a per-stage summary (rows, wall ms, skipped) and a sample of
   * resolved triples — the observable surface of the whole flow.
@@ -37,14 +47,23 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val incrN = opts.get("incremental").map(_.toInt)
     val cfg = Pipeline.Config(
       corpus = CorpusSynth.Config(nPages = pages, nClusters = clusters),
       chunkerType = chunker,
       er = Resolution.Params(dim = dim),
-      outDir = out, runId = runId, resume = resume)
+      outDir = out, runId = runId, resume = resume,
+      incrementalLayout = opts.contains("bucketed"))
 
     val t0 = System.nanoTime()
-    val result = Pipeline.run(spark, cfg)
+    val result = incrN match {
+      case Some(n) =>
+        val unionCorpus = cfg.corpus.copy(nPages = pages + n)
+        val newBatch = CorpusSynth.pagesRange(spark, unionCorpus, pages, pages + n)
+        Pipeline.runIncremental(
+          spark, cfg.copy(runId = opts.getOrElse("run-id", s"delta-${pages}p+$n")), newBatch)
+      case None => Pipeline.run(spark, cfg)
+    }
     val wallS = (System.nanoTime() - t0) / 1e9
 
     println(f"%nstage summary (run=$runId pages=$pages clusters=$clusters):")
@@ -66,6 +85,7 @@ object Main {
     args match {
       case Nil => acc
       case "--resume" :: rest => parse(rest, acc + ("resume" -> "true"))
+      case "--bucketed" :: rest => parse(rest, acc + ("bucketed" -> "true"))
       case k :: v :: rest if k.startsWith("--") => parse(rest, acc + (k.drop(2) -> v))
       case other :: _ => sys.error(s"unrecognized argument: $other")
     }
