@@ -51,11 +51,32 @@ object Louvain {
     * accounting (init: directed edge count; levels: Σ directed w / 2).
     * Returns (id, comm) where comm is the representative node id.
     */
-  def localMoving(nodes: DataFrame, edges: DataFrame, m: Double, maxHop: Int = 10): DataFrame = {
+  def localMoving(nodes: DataFrame, edges: DataFrame, m: Double, maxHop: Int = 10,
+      localFinishEdges: Long = 2000000L): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
 
     if (m <= 1e-11) return nodes.select($"id", $"id".as("comm"))
+
+    // contract-before-iterate, same auto-routing as connectedComponents'
+    // residual finish: the hop loop costs ~4 scheduled jobs per hop, pure
+    // fixed latency when the graph is small (EVERY level ≥ 2 after
+    // coarsening, and whole corpora at test scale — measured 39 s for a
+    // 931-triple graph at 8 cores). Under the bound the identical algorithm
+    // runs driver-side in one collect (LouvainSpec asserts bit-equality on
+    // both routes); above it the distributed loop below is unchanged. The
+    // arithmetic is route-independent by construction: every weight is a
+    // dyadic rational (unit counts halved per level), so sums are exact in
+    // double regardless of order, and string tie-breaks use UTF-8 byte
+    // order exactly like Spark's UTF8String comparison.
+    if (edges.limit((localFinishEdges + 1).toInt).count() <= localFinishEdges) {
+      val nodeArr = nodes.select($"id", $"k", $"k_self")
+        .as[(String, Double, Double)].collect()
+      val edgeArr = edges.select($"src", $"dst", $"w")
+        .as[(String, String, Double)].collect()
+      val res = localMovingDriver(nodeArr, edgeArr, m, maxHop)
+      return res.toSeq.toDF("id", "comm")
+    }
 
     // persist+count instead of checkpoint+isEmpty: one job materializes the
     // frame AND yields the loop-control count — r1 paid a separate isEmpty
@@ -161,6 +182,134 @@ object Louvain {
     }
     candidates.unpersist(false)
     labels.select($"id", $"comm")
+  }
+
+  /** UTF-8 byte comparison — Spark compares strings as UTF8String (binary
+    * over UTF-8 bytes), which differs from Java's UTF-16 compareTo for
+    * supplementary characters; the local route must tie-break identically.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side mirror of the distributed hop loop — executed when the
+    * graph fits [[localMoving]]'s `localFinishEdges` bound. Statement-for-
+    * statement the same algorithm: same ΔQ forms, same (gain, community)
+    * argmax with UTF-8 tie order, same pairwise-swap cancellation, same
+    * post-update candidate frontier. Returns (id, comm) for every node.
+    */
+  def localMovingDriver(nodes: Array[(String, Double, Double)],
+      edges: Array[(String, String, Double)], m: Double, maxHop: Int): Array[(String, String)] = {
+    import scala.collection.mutable
+    val k = mutable.HashMap.empty[String, Double]
+    val kSelf = mutable.HashMap.empty[String, Double]
+    val comm = mutable.HashMap.empty[String, String]
+    nodes.foreach { case (id, kk, ks) =>
+      k(id) = kk; kSelf(id) = ks; comm(id) = id
+    }
+    // adjacency over candidate sources (edges are directed, both directions
+    // present — mirrors `edges.join(cand, "src")`)
+    val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[(String, Double)]]
+    edges.foreach { case (s, d, w) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+    }
+
+    final case class Move(id: String, oldComm: String, newComm: String, gain: Double)
+
+    var candidates: Set[String] = nodes.map(_._1).toSet
+    var hop = 0
+    while (hop < maxHop && candidates.nonEmpty) {
+      hop += 1
+      val moves = mutable.HashMap.empty[String, Move]
+
+      if (hop == 1) {
+        candidates.foreach { src =>
+          adj.get(src).foreach { nbrs =>
+            var bestDq = Double.NegativeInfinity
+            var bestComm: String = null
+            nbrs.foreach { case (dst, _) =>
+              val tc = comm(dst)
+              if (comm(src) != tc) {
+                val dq = 1.0 - k(src) * k(dst) / (2 * m)
+                // max(struct(dq, t_comm)): larger dq wins, ties to the
+                // UTF-8-larger community
+                if (dq > bestDq || (dq == bestDq && (bestComm == null || utf8Lt(bestComm, tc))))
+                  { bestDq = dq; bestComm = tc }
+              }
+            }
+            if (bestComm != null && bestDq > 0)
+              moves(src) = Move(src, comm(src), bestComm, bestDq)
+          }
+        }
+      } else {
+        val sumTot = mutable.HashMap.empty[String, Double]
+        comm.foreach { case (id, c) => sumTot(c) = sumTot.getOrElse(c, 0.0) + k(id) }
+        candidates.foreach { src =>
+          adj.get(src).foreach { nbrs =>
+            val sComm = comm(src)
+            var kIn = 0.0
+            val wTo = mutable.HashMap.empty[String, Double]
+            nbrs.foreach { case (dst, w) =>
+              val tc = comm(dst)
+              if (tc == sComm) kIn += w
+              else wTo(tc) = wTo.getOrElse(tc, 0.0) + w
+            }
+            if (wTo.nonEmpty) {
+              val dqRemove = 2 * kSelf(src) - 2 * kIn + k(src) * (sumTot(sComm) - k(src)) / m
+              var bestAdd = Double.NegativeInfinity
+              var bestComm: String = null
+              wTo.foreach { case (tc, w) =>
+                val dqAdd = 2 * w - k(src) * sumTot(tc) / m
+                if (dqAdd > bestAdd ||
+                    (dqAdd == bestAdd && (bestComm == null || utf8Lt(bestComm, tc))))
+                  { bestAdd = dqAdd; bestComm = tc }
+              }
+              val gain = dqRemove + bestAdd
+              if (gain > 0) moves(src) = Move(src, sComm, bestComm, gain)
+            }
+          }
+        }
+      }
+
+      // pairwise-swap cancellation over edges where both endpoints move into
+      // each other's communities
+      val cancelled = mutable.HashSet.empty[String]
+      edges.foreach { case (s, d, _) =>
+        (moves.get(s), moves.get(d)) match {
+          case (Some(ms), Some(mt))
+              if ms.newComm == mt.oldComm && mt.newComm == ms.oldComm &&
+                (ms.gain < mt.gain ||
+                  (math.abs(ms.gain - mt.gain) < 1e-11 && utf8Lt(d, s))) =>
+            cancelled += s
+          case _ =>
+        }
+      }
+      val movers = moves.view.filterKeys(!cancelled.contains(_)).toMap
+
+      if (movers.isEmpty) candidates = Set.empty
+      else {
+        movers.valuesIterator.foreach(mv => comm(mv.id) = mv.newComm)
+        // post-update frontier: neighbors of movers outside the mover's new
+        // community (dst community read AFTER applying all moves)
+        val next = mutable.HashSet.empty[String]
+        movers.valuesIterator.foreach { mv =>
+          adj.get(mv.id).foreach(_.foreach { case (dst, _) =>
+            if (comm(dst) != mv.newComm) next += dst
+          })
+        }
+        candidates = next.toSet
+      }
+    }
+    nodes.map { case (id, _, _) => (id, comm(id)) }
   }
 
   /** Coarsen one level: labels (id, comm) + edges (src, dst, w) →

@@ -78,6 +78,7 @@ final class Catalog(val root: String, val spark: SparkSession) {
       mergeExprs: Map[String, (Column, Column) => Column] = Map.empty): Unit = {
     require(pk.nonEmpty, "merge needs at least one PK column")
     if (!exists(table)) { write(table, assertUniquePk(updates, pk)); return }
+    if (updates.isEmpty) return // empty delta: nothing to merge, skip the rewrite
     // crash-safe swap: move the live table ASIDE first, then promote the
     // staging dir, then drop the old copy — a failure between any two steps
     // leaves either the old table live or recoverable at `<table>._old`
@@ -229,6 +230,7 @@ final class Catalog(val root: String, val spark: SparkSession) {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_bucket").parquet(path(table))
     } else {
+      if (replacedKeys.isEmpty) return // empty delta: nothing to replace
       val out = read(table).join(replacedKeys, Seq(keyCol), "left_anti").unionByName(newRows)
       overwriteAtomic(table, out)
     }

@@ -374,7 +374,12 @@ object Pipeline {
       val p = cfg.er
       val changed = c.read("delta_entities").localCheckpoint(true)
       val embAll = c.read("embeddings")
-      if (!c.exists("lsh_sigs")) {
+      if (changed.isEmpty && c.exists("lsh_sigs")) {
+        // no-op delta: no entity row changed, so the standing sigs index and
+        // pair table are already exact — skip the O(index) bucket-count
+        // comparison entirely (a re-submitted batch costs nothing here)
+        0L
+      } else if (!c.exists("lsh_sigs")) {
         // bootstrap: the prior full run kept no blocking index — sign the
         // corpus once, recompute pairs fully, persist the index for next time
         c.writeKeyedCounted("lsh_sigs", Resolution.signatures(embAll, p),

@@ -70,6 +70,29 @@ class LouvainSpec extends AnyFunSuite {
     assert(res.levels.size >= 1)
   }
 
+  test("local-finish and distributed localMoving routes are identical") {
+    // the driver-side mirror (default route under the bound) must produce
+    // the SAME labels as the distributed hop loop (forced via bound = 0) —
+    // on both planted graphs and at both hop regimes (hop-1 ΔQ form and
+    // the hop>1 sum_tot form)
+    for (triples <- Seq(cliquesTriples, {
+      val n = 6
+      (0 until n).flatMap { c =>
+        val ids = (0 until 3).map(i => s"c${c}n$i")
+        val inner = for { i <- 0 until 3; j <- (i + 1) until 3 }
+          yield (ids(i), "REL", ids(j), "k")
+        inner :+ ((ids(0), "RING", s"c${(c + 1) % n}n0", "k"))
+      }.toDF("subj", "pred", "obj", "chunk_id")
+    })) {
+      val (nodes, edges, m) = Louvain.initGraph(triples)
+      val local = Louvain.localMoving(nodes, edges, m)
+        .as[(String, String)].collect().sorted.toSeq
+      val dist = Louvain.localMoving(nodes, edges, m, localFinishEdges = 0L)
+        .as[(String, String)].collect().sorted.toSeq
+      assert(local == dist, "routes diverged")
+    }
+  }
+
   test("unattached communities are carried forward to higher levels") {
     // bridged cliques A,B (cross-community LINKS_TO at level 2) + a fully
     // separate clique C with NO external edge: C's level-1 community has no
