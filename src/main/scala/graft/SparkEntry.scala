@@ -300,6 +300,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           TextStats.langIdCol(col("text")).as("lang_pred"))),
 
+    "q_repetition" -> ((s, d) =>
+      TextStats.repetitionMetrics(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+          col("n_bigrams"), col("dup_bigram_frac"), col("repetition_ok"))),
+
     // ---- dedup family over documents / embeddings ----
 
     "q_dedup_exact" -> ((s, d) =>
@@ -882,6 +887,35 @@ object SparkEntry {
             AND stop_ratio >= 0.01
             AND top_token_share <= 0.2) AS quality_ok
         FROM m""",
+
+    // Gopher repetition gates: exact SQL recompute of the dup-line and
+    // dup-bigram fractions (both are small-integer divisions — bit-exact on
+    // both engines before the shared round(…, 6))
+    "q_repetition" ->
+      """WITH base AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                        l -> l <> '') AS lines,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CASE WHEN len(lines) > 0
+            THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+            ELSE 0.0 END AS dup_line_frac,
+          CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+          CASE WHEN len(toks) >= 2
+            THEN round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+          ((CASE WHEN len(lines) > 0
+             THEN round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+             ELSE 0.0 END) <= 0.30
+           AND (CASE WHEN len(toks) >= 2
+             THEN round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6)
+             ELSE 0.0 END) <= 0.20) AS repetition_ok
+        FROM base""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS cnt, min(doc_id) AS keep_id

@@ -79,6 +79,38 @@ object TextStats {
           col("top_token_share") <= maxTopTokenShare)
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, the standard
+    * web-pretraining gates): fraction of duplicate non-blank lines and
+    * fraction of duplicate word bigrams, with a pass/fail column at the
+    * usual thresholds. All pure codegen columns — array ops over the split
+    * text, no UDF, no shuffle; at 100 TB this runs entirely map-side.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text",
+      maxDupLineFrac: Double = 0.30, maxDupBigramFrac: Double = 0.20): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val dupLine = when(nLines > 0,
+      round(lit(1.0) - size(array_distinct(lines)).cast("double") / nLines, 6))
+      .otherwise(lit(0.0))
+    val toks = split(trim(t), "\\s+")
+    val nTok = size(toks)
+    // sequence end is clamped so the non-taken when-branch can never build
+    // a descending sequence / 0-index element_at
+    val bigrams = transform(sequence(lit(1), greatest(nTok - 1, lit(1))), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val nBig = (nTok - 1).cast("long")
+    val dupBig = when(nTok >= 2,
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / nBig, 6))
+      .otherwise(lit(0.0))
+    df.withColumn("n_lines", nLines)
+      .withColumn("dup_line_frac", dupLine)
+      .withColumn("n_bigrams", greatest(nBig, lit(0L)))
+      .withColumn("dup_bigram_frac", dupBig)
+      .withColumn("repetition_ok",
+        dupLine <= maxDupLineFrac && dupBig <= maxDupBigramFrac)
+  }
+
   /** Language-ID by stopword-profile voting: score each candidate language
     * by the fraction of its marker words present, pick the argmax
     * (deterministic tie-break by language code). A classic trigram/stopword

@@ -40,6 +40,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(math.abs(m(1L).getDouble(2) - stops.toDouble / goodToks.length) < 1e-6)
   }
 
+  test("repetitionMetrics: Gopher dup-line and dup-bigram gates") {
+    val clean = "alpha beta\ngamma delta\nepsilon zeta"          // no dups
+    val dupLines = "same line\nsame line\nsame line\nother line" // 3 of 4 dup
+    val dupBigrams = Array.fill(10)("buy now").mkString(" ")     // "now buy"/"buy now" loop
+    val one = "single"                                           // 1 token, 1 line
+    val m = TextStats.repetitionMetrics(
+        docs(1L -> clean, 2L -> dupLines, 3L -> dupBigrams, 4L -> one))
+      .select($"doc_id", $"n_lines", $"dup_line_frac", $"n_bigrams",
+        $"dup_bigram_frac", $"repetition_ok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3 && m(1L).getDouble(2) == 0.0 && m(1L).getBoolean(5))
+    // 4 lines, 2 distinct → dup fraction 0.5, fails the 0.30 gate
+    assert(m(2L).getLong(1) == 4 && m(2L).getDouble(2) == 0.5 && !m(2L).getBoolean(5))
+    // 20 tokens → 19 bigrams, 2 distinct ("buy now", "now buy") → 17/19 dup
+    assert(m(3L).getLong(3) == 19)
+    assert(math.abs(m(3L).getDouble(4) - (1.0 - 2.0 / 19)) < 1e-6)
+    assert(!m(3L).getBoolean(5))
+    // degenerate: no bigrams, one line → both fractions 0, passes
+    assert(m(4L).getLong(3) == 0 && m(4L).getDouble(4) == 0.0 && m(4L).getBoolean(5))
+  }
+
   test("langIdCol votes by stopword profile") {
     val out = docs(
       1L -> "the cat is in the house and it was for them",
