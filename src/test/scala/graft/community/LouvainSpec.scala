@@ -91,6 +91,19 @@ class LouvainSpec extends AnyFunSuite {
         .as[(String, String)].collect().sorted.toSeq
       assert(local == dist, "routes diverged")
     }
+    // seeded random graph: noisy structure forces multiple hops and the
+    // hop>1 sum_tot ΔQ form; full Louvain.run must also agree level-for-level
+    val rng = new scala.util.Random(11)
+    val rand = (0 until 400).map { _ =>
+      val a = rng.nextInt(120); val b = rng.nextInt(120)
+      (s"n$a", "R", s"n$b", "k")
+    }.filter(t => t._1 != t._3).distinct.toDF("subj", "pred", "obj", "chunk_id")
+    val (n2, e2, m2) = Louvain.initGraph(rand)
+    val local2 = Louvain.localMoving(n2, e2, m2)
+      .as[(String, String)].collect().sorted.toSeq
+    val dist2 = Louvain.localMoving(n2, e2, m2, localFinishEdges = 0L)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(local2 == dist2, "routes diverged on the random graph")
   }
 
   test("unattached communities are carried forward to higher levels") {
