@@ -47,6 +47,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       "late row must not inflate the finalized window")
   }
 
+  test("streaming sessionize == batch sessionize on the same events") {
+    implicit val sq = spark.sqlContext
+    import StreamingOps.{SessIn, SessionOut}
+    val gapSec = 1800L // 30 min
+
+    val b1 = Seq(SessIn("u1", "e1", ts(0), 1.25), SessIn("u1", "e2", ts(5), 2.50),
+      SessIn("u2", "e3", ts(3), 10.0))
+    val b2 = Seq(SessIn("u1", "e4", ts(65), 4.00)) // >30min after e2: new session
+    // watermark pusher: a throwaway user far in the future closes all state
+    val b3 = Seq(SessIn("zz", "e9", ts(500), 0.0))
+
+    val in = MemoryStream[SessIn]
+    val q = StreamingOps.sessionize(in.toDS(), gapSeconds = gapSec)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    Seq(b1, b2, b3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    in.addData(SessIn("zz", "e10", ts(999), 0.0)) // fire zz's own timeout
+    q.processAllAvailable()
+    q.stop()
+
+    val streaming = spark.table("sess").as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value))
+      .toSet
+    val batch = graft.operators.Events.sessionize(
+        (b1 ++ b2 ++ b3).toDF().select($"user_id", $"event_id", $"ts", $"value"),
+        gapSeconds = gapSec)
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+      .as[(String, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // zz's last event (e10) is still open in state at q.stop(); every closed
+    // session must match the batch answer exactly
+    val batchClosed = batch.filter { case (u, _, end, _, _) =>
+      !(u == "zz" && end == ts(999)) }
+    assert(streaming == batchClosed, s"streaming $streaming vs batch $batchClosed")
+    assert(streaming.count(_._1 == "u1") == 2, "u1 split into two sessions")
+  }
+
   test("dedupByDigest emits exactly one row per digest across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[StreamingOps.DedupIn]
