@@ -307,6 +307,27 @@ object SparkEntry {
 
     // ---- dedup family over documents / embeddings ----
 
+    // Approximate-aggregate gate: at 10^12 rows exact count-distinct and
+    // exact percentiles are shuffle-bound; HLL++ and the Greenwald-Khanna
+    // percentile sketch are the scale tools. The gate computes BOTH on the
+    // same scan and pins the sketch error inside its configured bound
+    // (rsd 0.02 → 10% is a 5σ envelope; percentile accuracy 10000 → rank
+    // error 1e-4). Booleans only, so the constant oracle holds at any SF.
+    "q_sketch_gate" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.agg(
+          countDistinct(col("l_suppkey")).as("ex_s"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("ap_s"),
+          countDistinct(col("l_orderkey")).as("ex_o"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ap_o"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("ap_m"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex_m"))
+        .select(
+          (abs(col("ap_s") - col("ex_s")) <= col("ex_s") * 0.1).as("cd_supp_ok"),
+          (abs(col("ap_o") - col("ex_o")) <= col("ex_o") * 0.1).as("cd_order_ok"),
+          (abs(col("ap_m") - col("ex_m")) <= col("ex_m") * 0.05).as("median_ok"))
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"))),
 
@@ -1038,6 +1059,9 @@ object SparkEntry {
 
     "q_ann_ivf_indexed" ->
       """SELECT 50::BIGINT AS n_rows, true AS paths_identical""",
+
+    "q_sketch_gate" ->
+      """SELECT true AS cd_supp_ok, true AS cd_order_ok, true AS median_ok""",
 
     "q_media_gate" ->
       """SELECT * FROM (VALUES
