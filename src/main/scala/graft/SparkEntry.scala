@@ -111,6 +111,16 @@ object SparkEntry {
 
   private def kg(s: SparkSession, dir: String): KgStages = kgStages(s, kgConfig(dir))
 
+  /** Simple directed graph view of the resolved KG (distinct (subj, obj),
+    * self-loops dropped) — the edge table the canned graph statistics
+    * (kg_graph_stats / kg_pagerank_top / kg_bfs_hops) run over.
+    */
+  private def kgSimpleEdges(st: KgStages): DataFrame =
+    st.resolvedTriples.toDF()
+      .select(col("subj").as("src"), col("obj").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+
   /** Deterministic probe vector for the vector-search queries: the same
     * embedder the pipeline uses, applied to a fixed query text.
     */
@@ -304,6 +314,51 @@ object SparkEntry {
       TextStats.repetitionMetrics(t(s, d, "documents"))
         .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
           col("n_bigrams"), col("dup_bigram_frac"), col("repetition_ok"))),
+
+    // ---- corpus curation (decontaminate / sample / bin / pack) ----
+
+    // benchmark decontamination: docs with doc_id % 20 == 0 play the
+    // held-out benchmark; every other doc sharing an 8-gram with them is
+    // flagged with its distinct-hit count (broadcast semi-join on grams)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Curation.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0), n = 8)
+    }),
+
+    // deterministic per-language sampling by FNV hash bucket — identical
+    // sample on every run/engine (the reason pipelines sample by hash)
+    "q_sample_stratified" -> ((s, d) =>
+      operators.Curation.stratifiedSample(
+          t(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 80, "zh" -> 25), defaultPct = 50)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
+
+    // per-language length deciles (curriculum/packing buckets)
+    "q_quantile_bins" -> ((s, d) =>
+      operators.Curation.quantileBins(
+        t(s, d, "documents"), "lang", "n_chars", "doc_id", nBins = 10)),
+
+    // shard-local sequence packing at a 2048-token budget
+    "q_pack" -> ((s, d) =>
+      operators.Curation.packContiguous(
+        t(s, d, "documents"), "source", "doc_id", "text", budgetTokens = 2048)),
+
+    // PageRank determinism gate: fixed planted graph (200 nodes, two affine
+    // rings + every (i%10==1) node feeding hub 0), 10 iterations in
+    // decimal(20,18). The constant oracle pins the top-5 ranks to 9 dp —
+    // any arithmetic-order nondeterminism or formula drift flips the hash.
+    "q_pagerank_gate" -> ((s, d) => {
+      import s.implicits._
+      val edges = (0 until 200).flatMap { i =>
+        Seq((i.toLong, ((i * 7 + 1) % 200).toLong), (i.toLong, ((i * 13 + 3) % 200).toLong)) ++
+          (if (i % 10 == 1) Seq((i.toLong, 0L)) else Nil)
+      }.toDF("src", "dst")
+      operators.GraphAlgos.pageRank(edges, iterations = 10)
+        .select(col("id"), round(col("rank").cast("double"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("id")).limit(5)
+    }),
 
     // ---- dedup family over documents / embeddings ----
 
@@ -516,6 +571,36 @@ object SparkEntry {
           louv.levels.head.communities.count(), louv.levels.size.toLong))
         .toDF("n_chunks", "n_entities", "n_mentions", "n_triples_raw",
           "n_resolves_to", "n_resolved_triples", "n_l1_communities", "n_levels")
+    }),
+
+    // ---- graph analytics over the resolved KG (tg_pagerank/tg_bfs/
+    //      get_edge_stats — the reference's canned statistics surface) ----
+
+    // shape summary of the simple resolved graph (constant oracle: the
+    // pinned corpus makes every number deterministic)
+    "kg_graph_stats" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      operators.GraphAlgos.degreeStats(kgSimpleEdges(st))
+    }),
+
+    // top-10 hubs by decimal PageRank on the resolved graph, pinned to 9 dp
+    "kg_pagerank_top" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      operators.GraphAlgos.pageRank(kgSimpleEdges(st), iterations = 10)
+        .select(col("id"), round(col("rank").cast("double"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("id")).limit(10)
+    }),
+
+    // BFS reachability histogram from the max-out-degree hub (ties by id)
+    "kg_bfs_hops" -> ((s, d) => {
+      import s.implicits._
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      val e = kgSimpleEdges(st).localCheckpoint(true)
+      val seed = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("src")).limit(1)
+        .select(col("src").as("id"))
+      operators.GraphAlgos.bfsDistances(e, seed, maxHops = 5)
+        .groupBy(col("dist")).agg(count(lit(1)).as("cnt"))
     }),
 
     // ---- retrieval operators (SURVEY.md §2.9) ----
@@ -938,6 +1023,71 @@ object SparkEntry {
              ELSE 0.0 END) <= 0.20) AS repetition_ok
         FROM base""",
 
+    // decontamination: exact 8-gram recompute — same lowercase/whitespace
+    // tokenization, same distinct-grams-per-doc counting
+    "q_decontaminate" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) < 8 THEN []::VARCHAR[]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+                        i -> array_to_string(tk[i:i+7], ' '))) END AS g
+          FROM toks),
+        bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0)
+        SELECT t.doc_id, count(DISTINCT gram) AS n_hits
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 <> 0) t
+        JOIN bench USING (gram)
+        GROUP BY t.doc_id""",
+
+    // stratified sample: the FNV-1a bucket is recomputed with the same
+    // HUGEINT fold as q_fingerprint, then signed-mod-normalized to match
+    // Spark's pmod
+    "q_sample_stratified" ->
+      """WITH fp AS (
+          SELECT doc_id, lang, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                i -> unicode(substr(CAST(doc_id AS VARCHAR), i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang,
+            ((CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+              % 100) + 100) % 100 AS bucket
+          FROM fp)
+        SELECT doc_id, lang, bucket FROM b
+        WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 25 ELSE 50 END""",
+
+    "q_quantile_bins" ->
+      """WITH binned AS (
+          SELECT lang, n_chars,
+            ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+          FROM documents)
+        SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS cnt,
+          min(n_chars) AS lo, max(n_chars) AS hi
+        FROM binned GROUP BY lang, bin""",
+
+    "q_pack" ->
+      """WITH tok AS (
+          SELECT source, doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        x -> x <> '')) END::BIGINT AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok)
+        SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+          count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM c GROUP BY source, pack_id""",
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS cnt, min(doc_id) AS keep_id
         FROM documents GROUP BY md5(text)""",
@@ -1082,6 +1232,37 @@ object SparkEntry {
     "kg_modularity" ->
       """SELECT * FROM (VALUES (1::BIGINT, 0.0892::DOUBLE), (2::BIGINT, 0.0892::DOUBLE))
         t(iteration, modularity)""",
+
+    // graph-analytics gates over the pinned corpus / planted graph: decimal
+    // PageRank is bit-deterministic, so the rounded ranks are constants —
+    // any arithmetic-order nondeterminism or formula drift flips the hash
+    "q_pagerank_gate" ->
+      """SELECT * FROM (VALUES
+          (0::BIGINT, 0.035219197::DOUBLE), (3::BIGINT, 0.017847752::DOUBLE),
+          (1::BIGINT, 0.0174181::DOUBLE), (22::BIGINT, 0.010406315::DOUBLE),
+          (42::BIGINT, 0.010406315::DOUBLE)) t(id, pr)""",
+
+    "kg_graph_stats" ->
+      """SELECT 61::BIGINT AS n_nodes, 1016::BIGINT AS n_edges,
+          22::BIGINT AS max_out_deg, 24::BIGINT AS max_in_deg""",
+
+    "kg_pagerank_top" ->
+      """SELECT * FROM (VALUES
+          ('city_of_kunubeville', 0.023323874::DOUBLE),
+          ('vizube_corporation', 0.022371888::DOUBLE),
+          ('vigube_zigube', 0.01998285::DOUBLE),
+          ('virabe_zirabe', 0.019795917::DOUBLE),
+          ('kugube_corporation', 0.019769143::DOUBLE),
+          ('city_of_kulubeville', 0.019563628::DOUBLE),
+          ('pokube_corporation', 0.019353802::DOUBLE),
+          ('posube_rosube', 0.018897962::DOUBLE),
+          ('city_of_fisubeville', 0.018793737::DOUBLE),
+          ('kurabe_corporation', 0.018733231::DOUBLE)) t(id, pr)""",
+
+    "kg_bfs_hops" ->
+      """SELECT * FROM (VALUES
+          (0::BIGINT, 1::BIGINT), (1::BIGINT, 22::BIGINT),
+          (2::BIGINT, 38::BIGINT)) t(dist, cnt)""",
 
     "kg_gate" ->
       """SELECT 23762::BIGINT AS n_chunks, 180::BIGINT AS n_entities,

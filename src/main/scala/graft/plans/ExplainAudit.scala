@@ -99,6 +99,16 @@ object ExplainAudit {
         "meta predicates must reach the parquet scan BEFORE payload decode " +
           "(r1 used a typed lambda filter that deserialized every payload)"),
 
+      Check("decontamination broadcasts the benchmark grams",
+        s => graft.operators.Curation.decontaminate(
+          t("documents").where(pmod(col("doc_id"), lit(20)) =!= 0),
+          t("documents").where(pmod(col("doc_id"), lit(20)) === 0), n = 8),
+        // the bounded (benchmark) side must broadcast into a semi join and
+        // the per-doc hit count must partial-aggregate before its shuffle —
+        // the two properties that keep the 100 TB training side un-shuffled
+        Seq("BroadcastHashJoin", "LeftSemi", "partial_count"),
+        "training grams never shuffle; bench side broadcasts; counts combine map-side"),
+
       Check("IVF index probe prunes partitions",
         s => {
           import s.implicits._

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Corpus-curation operators (Curation): decontamination, deterministic
+  * sampling, quantile binning, sequence packing — exact expectations on
+  * planted inputs, plus determinism across partitionings.
+  */
+class CurationSamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("ngramsCol: distinct sliding windows, short text empty") {
+    val out = docs(
+        1L -> "A b c d",
+        2L -> "x y",
+        3L -> "r r r r")
+      .select($"doc_id", Curation.ngramsCol($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty, "below n tokens yields no grams")
+    assert(out(3L) == Seq("r r r"), "duplicates are deduped")
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with bench") {
+    val shared = "one two three four five six seven eight"
+    val bench = docs(100L -> s"intro $shared outro")
+    val train = docs(
+      1L -> s"prefix $shared suffix", // contaminated (the 8-gram itself)
+      2L -> "totally different words that never overlap with anything here",
+      3L -> "one two three four five SIX seven eight") // case-folded match
+    val hits = Curation.decontaminate(train, bench, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(3L) == 1L)
+  }
+
+  test("hashBucketCol matches fingerprint64 pmod and is partition-invariant") {
+    val df = spark.range(0, 500).toDF("doc_id")
+    val got = df.select($"doc_id", Curation.hashBucketCol($"doc_id", 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 500L).foreach { i =>
+      val h = TextStats.fingerprint64(i.toString)
+      val expect = ((h % 100) + 100) % 100
+      assert(got(i) == expect, s"doc $i")
+    }
+    val re = df.repartition(7).select(Curation.hashBucketCol($"doc_id", 100).as("b"))
+      .agg(sum($"b")).as[Long].head()
+    assert(re == got.values.sum)
+  }
+
+  test("stratifiedSample keeps ~rate% per stratum, deterministically") {
+    val df = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        when(pmod($"id", lit(2)) === 0, "en").otherwise("zh").as("lang"))
+    val kept = Curation.stratifiedSample(df, "lang", "doc_id",
+      Map("en" -> 80, "zh" -> 25), defaultPct = 50)
+    val byLang = kept.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") > 700 && byLang("en") < 900, s"en=${byLang("en")}")
+    assert(byLang("zh") > 180 && byLang("zh") < 330, s"zh=${byLang("zh")}")
+    // identical rows on a rerun with different parallelism
+    val again = Curation.stratifiedSample(df.repartition(13), "lang", "doc_id",
+      Map("en" -> 80, "zh" -> 25), defaultPct = 50)
+    assert(again.select("doc_id").except(kept.select("doc_id")).isEmpty)
+    assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty)
+  }
+
+  test("quantileBins: ntile bins partition the stratum in value order") {
+    val df = (1L to 20L).map(i => (i, "en", i * 10)).toDF("doc_id", "lang", "n_chars")
+      .unionByName((1L to 7L).map(i => (100 + i, "de", i)).toDF("doc_id", "lang", "n_chars"))
+    val bins = Curation.quantileBins(df, "lang", "n_chars", "doc_id", nBins = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(bins(("en", 1L)) == ((5L, 10L, 50L)))
+    assert(bins(("en", 4L)) == ((5L, 160L, 200L)))
+    // 7 rows into 4 bins: sizes 2,2,2,1
+    assert(bins(("de", 1L))._1 == 2L && bins(("de", 4L))._1 == 1L)
+    // bins tile the stratum: next bin's lo follows prev bin's hi
+    assert(bins(("en", 2L))._2 > bins(("en", 1L))._3)
+  }
+
+  test("packContiguous: docs fall in the pack holding their start offset") {
+    // 5 docs of 3 tokens each, budget 7: offsets 0,3,6,9,12 -> packs 0,0,0,1,1
+    val df = (1L to 5L).map(i => (i, "s0", "a b c")).toDF("doc_id", "source", "text")
+    val packs = Curation.packContiguous(df, "source", "doc_id", "text", budgetTokens = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(packs(("s0", 0L)) == ((3L, 9L)))
+    assert(packs(("s0", 1L)) == ((2L, 6L)))
+  }
+}

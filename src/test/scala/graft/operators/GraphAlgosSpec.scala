@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Graph analytics (GraphAlgos): PageRank fixed points + bit-determinism
+  * across partitionings (the property the pinned oracle gates rely on),
+  * BFS distances, degree stats.
+  */
+class GraphAlgosSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def edges(rows: (String, String)*) = rows.toDF("src", "dst")
+
+  test("pageRank: symmetric 2-cycle sits at the exact 0.5 fixed point") {
+    val ranks = GraphAlgos.pageRank(edges("a" -> "b", "b" -> "a"), iterations = 10)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    assert(ranks("a").doubleValue() == 0.5 && ranks("b").doubleValue() == 0.5)
+  }
+
+  test("pageRank: 3-cycle sits at the exact 1/3 fixed point") {
+    val third = new java.math.BigDecimal("0.333333333333333333")
+    val ranks = GraphAlgos.pageRank(
+        edges("a" -> "b", "b" -> "c", "c" -> "a"), iterations = 10)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    ranks.values.foreach(r => assert(r.compareTo(third) == 0, s"got $r"))
+  }
+
+  test("pageRank: hub dominates, mass is conserved up to dangling loss") {
+    // star: every leaf points at the hub and the hub back at every leaf
+    // (no dangling; bidirectional so the rank oscillation damps toward the
+    // h ≈ 0.468 fixed point with hub > leaves at every iteration)
+    val e = ((1 to 9).map(i => s"leaf$i" -> "hub") ++
+      (1 to 9).map(i => "hub" -> s"leaf$i")).toDF("src", "dst")
+    val ranks = GraphAlgos.pageRank(e, iterations = 10)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    val hub = ranks("hub").doubleValue()
+    assert(ranks.keySet.size == 10)
+    assert(ranks.forall { case (k, v) => k == "hub" || v.doubleValue() < hub })
+    val total = ranks.values.map(_.doubleValue()).sum
+    assert(total > 0.99 && total < 1.000001, s"sum=$total")
+  }
+
+  test("pageRank is bit-identical across partitionings") {
+    val e = (0 until 150).flatMap { i =>
+      Seq((s"n$i", s"n${(i * 7 + 1) % 150}"), (s"n$i", s"n${(i * 13 + 3) % 150}"))
+    }.toDF("src", "dst")
+    val a = GraphAlgos.pageRank(e, iterations = 8)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    val b = GraphAlgos.pageRank(e.repartition(17), iterations = 8)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v.compareTo(b(k)) == 0, s"node $k: $v vs ${b(k)}") }
+  }
+
+  test("bfsDistances: hop counts on a path, maxHops bound respected") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val seeds = Seq("a").toDF("id")
+    val d3 = GraphAlgos.bfsDistances(e, seeds, maxHops = 3)
+      .as[(String, Long)].collect().toMap
+    assert(d3 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    val d9 = GraphAlgos.bfsDistances(e, seeds, maxHops = 9)
+      .as[(String, Long)].collect().toMap
+    assert(d9("e") == 4L, "early-exit still reaches the path end")
+  }
+
+  test("bfsDistances: multi-source takes the nearest seed") {
+    val e = edges("a" -> "b", "b" -> "c", "z" -> "c")
+    val d = GraphAlgos.bfsDistances(e, Seq("a", "z").toDF("id"), maxHops = 5)
+      .as[(String, Long)].collect().toMap
+    assert(d == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("degreeStats on a known graph") {
+    val r = GraphAlgos.degreeStats(
+        edges("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "c"))
+      .as[(Long, Long, Long, Long)].head()
+    // self-loop dropped: 3 nodes, 3 edges, max out = a(2), max in = c(2)
+    assert(r == ((3L, 3L, 2L, 2L)))
+  }
+}
