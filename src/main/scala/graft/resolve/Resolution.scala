@@ -76,7 +76,17 @@ object Resolution {
     Array.fill(p.bands * p.bits)(Array.fill(p.dim)(rng.nextGaussian().toFloat))
   }
 
-  /** Signature rows (entity_id, band, sig) — exposed for plan debugging. */
+  /** Signature rows (entity_id, band, sig) — exposed for plan debugging.
+    *
+    * Sparse-aware signing: the deterministic [[graft.extract.HashEmbedder]]
+    * emits vectors with nnz ≈ token count (~13 of 1536), so computing the
+    * bands×bits hyperplane dots over the nonzero coordinates only cuts the
+    * signing FLOPs ~100× (one 1536-scan + 240·nnz mults vs 240·1536).
+    * Bit-identical to the dense loop: a zero coordinate contributes exactly
+    * ±0.0 to the double accumulator, which never changes the sum, and the
+    * nonzero terms are accumulated in the same index order. Dense vectors
+    * (a real embedding model) degrade only by the single gather pass.
+    */
   def debugSigs(embeddings: DataFrame, p: Params): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -87,16 +97,33 @@ object Resolution {
       .as[(String, Array[Float])]
       .mapPartitions { it =>
         val h = planes.value
+        val idxBuf = new Array[Int](p.dim)
+        val valBuf = new Array[Float](p.dim)
         it.flatMap { case (id, v) =>
-          (0 until bands).iterator.map { b =>
+          var nnz = 0
+          var i = 0
+          val n = math.min(v.length, p.dim)
+          while (i < n) {
+            if (v(i) != 0f) { idxBuf(nnz) = i; valBuf(nnz) = v(i); nnz += 1 }
+            i += 1
+          }
+          val sigs = new Array[Int](bands)
+          var b = 0
+          while (b < bands) {
             var sig = 0
             var j = 0
             while (j < bits) {
-              if (graft.extract.VectorOps.dot(h(b * bits + j), v) >= 0) sig |= (1 << j)
+              val plane = h(b * bits + j)
+              var d = 0.0
+              var k = 0
+              while (k < nnz) { d += plane(idxBuf(k)).toDouble * valBuf(k); k += 1 }
+              if (d >= 0) sig |= (1 << j)
               j += 1
             }
-            (id, b, sig)
+            sigs(b) = sig
+            b += 1
           }
+          (0 until bands).iterator.map(b => (id, b, sigs(b)))
         }
       }
       .toDF("entity_id", "band", "sig")
@@ -117,26 +144,7 @@ object Resolution {
         val b = embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b"))
         a.crossJoin(b).where($"src" < $"dst")
       } else {
-        val planes = spark.sparkContext.broadcast(hyperplanes(p))
-        val bands = p.bands
-        val bits = p.bits
-        val sigs = embeddings
-          .as[(String, Array[Float])]
-          .mapPartitions { it =>
-            val h = planes.value
-            it.flatMap { case (id, v) =>
-              (0 until bands).iterator.map { b =>
-                var sig = 0
-                var j = 0
-                while (j < bits) {
-                  if (VectorOps.dot(h(b * bits + j), v) >= 0) sig |= (1 << j)
-                  j += 1
-                }
-                (id, b, sig)
-              }
-            }
-          }
-          .toDF("entity_id", "band", "sig")
+        val sigs = debugSigs(embeddings, p)
 
         // drop degenerate buckets (near-duplicate floods) before the self-join
         val bucketed = sigs
@@ -149,18 +157,20 @@ object Resolution {
         val raw = l.join(r, Seq("band", "sig")).where($"src" < $"dst")
           .select("src", "dst")
 
-        // probe the broadcast bound BEFORE any collect (limit-count, same
-        // guard shape as Dedup.embeddingPairs): 12-bit sign-RP bands over
-        // high-dim embeddings run ~40 false candidates per true pair
-        // (measured 825k → 19.7k at 150k pages), so when the id→vector map
-        // fits, scoring map-side and deduping AFTER the cosine filter beats
-        // two shuffle joins of 6 KB arrays plus an 825k-row dedup — the
-        // dedup input shrinks to the surviving pairs (≤ bands× smaller)
-        val maxRows = p.maxBroadcastBytes / (p.dim.toLong * 4L)
-        val inBound = embeddings.limit(maxRows.toInt + 1).count() <= maxRows
-        if (inBound) {
-          val vecMap = spark.sparkContext.broadcast(
-            embeddings.as[(String, Array[Float])].collect().toMap)
+        // probe + fetch in ONE job: collect at most bound+1 rows (limit is
+        // pushed, so an over-bound table ships ≤ maxBroadcastBytes + 1 row,
+        // never the whole table). 12-bit sign-RP bands over high-dim
+        // embeddings run ~40 false candidates per true pair (measured 825k
+        // → 19.7k at 150k pages), so when the id→vector map fits, scoring
+        // map-side and deduping AFTER the cosine filter beats two shuffle
+        // joins of 6 KB arrays plus an 825k-row dedup — the dedup input
+        // shrinks to the surviving pairs (≤ bands× smaller). The fused
+        // probe halves this stage's fixed job count (r3: the KG chain is
+        // fixed-latency-bound at 150k pages, F ≈ 14 s of T32 ≈ 18 s).
+        val maxRows = (p.maxBroadcastBytes / (p.dim.toLong * 4L)).toInt
+        val probe = embeddings.limit(maxRows + 1).as[(String, Array[Float])].collect()
+        if (probe.length <= maxRows) {
+          val vecMap = spark.sparkContext.broadcast(probe.toMap)
           val thr = p.cosineThreshold - 1e-6
           return raw.as[(String, String)]
             .mapPartitions { it =>
@@ -319,20 +329,25 @@ object Resolution {
     val nodeLabels = partial.groupBy($"id")
       .agg(min($"label").as("minl"), collect_set($"label").as("ls"))
       .persist()
-    // persist+count: one job materializes AND sizes the residual graph
-    // (checkpoint-then-count was two)
+    // size-probe + fetch the residual graph in ONE job: collect at most
+    // bound+1 edges (limit pushed — an over-bound graph ships ≤ bound+1
+    // rows, never everything). The persist still backs the rare
+    // distributed-fallback path. r2 did persist+count then a second
+    // collect; at 150k pages the KG chain is fixed-latency-bound, so every
+    // fused job is wall time off T32.
     val eqEdges = nodeLabels
       .select($"minl".as("dst"), explode($"ls").as("src"))
       .where($"src" =!= $"dst")
       .dropDuplicates("src", "dst")
       .persist()
-    val nEq = eqEdges.count()
+    val cap = math.min(localFinishEdges, Int.MaxValue - 2L).toInt
+    val sample = eqEdges.limit(cap + 1).as[(String, String)].collect()
 
     // resolve label -> component root
     val labelRoots: DataFrame =
-      if (nEq == 0) {
+      if (sample.isEmpty) {
         spark.emptyDataset[(String, String)].toDF("label", "root")
-      } else if (nEq <= localFinishEdges) {
+      } else if (sample.length <= cap) {
         val parent = scala.collection.mutable.HashMap.empty[String, String]
         def find(x: String): String = {
           var r = x
@@ -341,7 +356,7 @@ object Resolution {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        eqEdges.as[(String, String)].collect().foreach { case (a, b) =>
+        sample.foreach { case (a, b) =>
           val ra = find(a); val rb = find(b)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
