@@ -408,6 +408,20 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), w = 3, threshold = 0.3)),
 
+    // dedup CLUSTER assignment: connected components over the exact-jaccard
+    // pair graph, cluster id = min doc id in the component. The one CC
+    // consumer with a REAL SQL oracle (DuckDB recursive-CTE transitive
+    // closure) rather than a pinned gate — it hash-checks the min-label
+    // semantics of Resolution.connectedComponents end-to-end.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), w = 3, threshold = 0.3)
+      val ids = pairs.select(col("a").as("entity_id"))
+        .unionByName(pairs.select(col("b").as("entity_id"))).distinct()
+      Resolution.connectedComponents(ids,
+          pairs.select(col("a").as("src"), col("b").as("dst")))
+        .select(col("entity_id").as("doc_id"), col("component_id").as("cluster_id"))
+    }),
+
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fp64"))),
@@ -1160,6 +1174,36 @@ object SparkEntry {
           FROM sh x JOIN sh y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
           WHERE len(x.s) > 0 AND len(y.s) > 0)
         WHERE jaccard >= 0.3""",
+
+    // dedup clusters: transitive closure of the exact-jaccard pair graph
+    // via recursive CTE; cluster id = lexicographic min of the component
+    // (both engines compare the string ids bytewise)
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, chr(1))]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2])) END AS s
+          FROM toks),
+        pairs AS (
+          SELECT a, b FROM (
+            SELECT CAST(x.doc_id AS VARCHAR) AS a, CAST(y.doc_id AS VARCHAR) AS b,
+              round(len(list_intersect(x.s, y.s))::DOUBLE
+                / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+            FROM sh x JOIN sh y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
+            WHERE len(x.s) > 0 AND len(y.s) > 0)
+          WHERE jaccard >= 0.3),
+        edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+        FROM reach GROUP BY src""",
 
     // FNV-1a 64-bit over the case/whitespace-normalized char stream,
     // recomputed exactly in DuckDB via a HUGEINT fold mod 2^64.
