@@ -72,17 +72,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresLow = math.max(1, coresHigh / 4)
-    // 150k pages at the sf0.1 tier: measured sweet spot between the two
-    // sandbox ceilings. Below it, fixed per-job latency dominates (Amdahl
-    // fit: F ≈ 14 s, W ≈ 280 core-s → efficiency caps ≈ 0.55 regardless of
-    // plan quality); above it, the 32-thread run hits the single-box
-    // memory-bandwidth knee (measured r2: 300k pages → T8 1.73× for 2×
-    // data but T32 3.0× → efficiency 0.31; r1 saw the same at 700k). A
-    // real cluster shares neither ceiling — see BENCH/BASELINE.md.
+    // 300k pages at the sf0.1 tier (r3: up from 150k). The r2 code hit a
+    // memory-bandwidth knee at 300k (T32 69 s); the r3 plan fixes (sparse
+    // signing, fused probe jobs, broadcast scoring) removed it — measured
+    // clean-steal sweep at r3 HEAD: 150k → eff 0.41, 300k → 0.46,
+    // 600k → 0.45 with T32 scaling near-linearly (13.5 → 20.7 → 39.0 s).
+    // 300k amortizes the fixed per-job floor (F ≈ 11-15 s) twice as well
+    // as 150k without stretching the driver's bench budget. A real
+    // cluster shares neither single-box ceiling — see BENCH/BASELINE.md.
     val pages = sys.env.get("SPARK_GRAFT_KG_PAGES").map(_.toInt).getOrElse {
       if (sfDir.contains("0.001")) 2000
       else if (sfDir.contains("0.01")) 20000
-      else 150000
+      else 300000
     }
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
 
