@@ -537,6 +537,32 @@ object SparkEntry {
         (sum(col("hits")).cast("double") / (count(lit(1)) * 10) >= 0.8).as("recall_ok"))
     }),
 
+    // IVF-ADC gate: the full probed composition — each query ADC-scans only
+    // its 4 best coarse lists of 64 (a 16x candidate reduction) and recall
+    // holds at 0.87 (probing is NOT the recall limiter on clustered data;
+    // the residual quantizer is). Pins ≥ 0.8, same corpus as q_pq_recall.
+    "q_ivfadc_recall" -> ((s, d) => {
+      import s.implicits._
+      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
+        .localCheckpoint(true)
+      val qs = corpus.where(col("vec_id") % 500 === 0)
+      val rp = operators.Pq.ResidualParams(coarseK = 64, m = 16, k = 256, iters = 5)
+      val model = operators.Pq.trainResidual(corpus, rp)
+      val codes = operators.Pq.encodeResidual(corpus, model).localCheckpoint(true)
+      val approx = operators.Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = operators.Pq.exactDotTopK(corpus, qs, topK = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hitCounts = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val perQuery = qs.select(col("vec_id").cast("long").as("query_id"))
+        .join(hitCounts, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      perQuery.agg(
+        count(lit(1)).cast("long").as("n_queries"),
+        (sum(col("hits")).cast("double") / (count(lit(1)) * 10) >= 0.8).as("recall_ok"))
+    }),
+
     // ---- multimodal plumbing (decode stubbed; rows-only) ----
 
     "q_media_features" -> ((s, d) => {
@@ -1292,6 +1318,9 @@ object SparkEntry {
       """SELECT 50::BIGINT AS n_rows, true AS paths_identical""",
 
     "q_pq_recall" ->
+      """SELECT 10::BIGINT AS n_queries, true AS recall_ok""",
+
+    "q_ivfadc_recall" ->
       """SELECT 10::BIGINT AS n_queries, true AS recall_ok""",
 
     "q_sketch_gate" ->

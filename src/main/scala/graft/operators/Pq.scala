@@ -173,6 +173,65 @@ object Pq {
       .toDF(idCol, "coarse_code", "codes")
   }
 
+  /** IVF-ADC top-k (the full FAISS-style composition): each query probes
+    * its `nProbe` best coarse lists by inner product and ADC-scores ONLY
+    * rows assigned to those lists — the scan shrinks to the probed
+    * fraction, and with the codes table partitioned by `coarse_code` the
+    * probe prunes at file-listing time exactly like [[IvfIndex.topK]].
+    * `nProbe >= coarseK` degenerates to [[adcTopKResidual]] (asserted in
+    * PqSpec).
+    */
+  def ivfAdcTopK(queries: DataFrame, codes: DataFrame, model: ResidualModel,
+      topK: Int, nProbe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = model.codebooks.length
+    val k = model.codebooks.head.length
+    val dsub = model.codebooks.head.head.length
+    val qs = queries.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])].collect()
+    // per query: coarse-dot table + probed list set + residual LUT
+    val luts = qs.map { case (qid, qv) =>
+      val coarseLut = model.coarse.map(c => graft.extract.VectorOps.dot(qv, c))
+      val probed = coarseLut.zipWithIndex
+        .sortBy { case (d, i) => (-d, i) }.take(math.min(nProbe, coarseLut.length))
+        .map(_._2).toSet
+      val lut = Array.ofDim[Double](m, k)
+      var s = 0
+      while (s < m) {
+        val q = subvec(qv, s, dsub)
+        var c = 0
+        while (c < k) { lut(s)(c) = graft.extract.VectorOps.dot(q, model.codebooks(s)(c)); c += 1 }
+        s += 1
+      }
+      (qid, coarseLut, probed, lut)
+    }
+    val allProbed = luts.flatMap(_._3).toSet
+    val bc = spark.sparkContext.broadcast(luts)
+    val scored = codes.select(col(idCol).cast("long"), col("coarse_code"), col("codes"))
+      // the coarse_code ∈ probed predicate is a plain IN filter — pushable
+      // to the scan / partition pruning when the table is laid out by list
+      .where(col("coarse_code").isin(allProbed.toSeq.map(_.asInstanceOf[Any]): _*))
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val ls = bc.value
+        it.flatMap { case (id, cc, cs) =>
+          ls.iterator.filter(_._3.contains(cc)).map { case (qid, coarseLut, _, lut) =>
+            var score = coarseLut(cc); var s = 0
+            while (s < cs.length) { score += lut(s)(cs(s)); s += 1 }
+            (qid, id, score)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc_dot")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** Residual ADC top-k: score(q, x) = dot(q, coarse(x)) + Σ_sub
     * lut(sub, code) — one coarse-table lookup plus m residual lookups per
     * candidate, raw vectors never touched.

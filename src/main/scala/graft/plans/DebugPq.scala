@@ -33,6 +33,17 @@ object DebugPq {
       val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(f"  coarseK=$coarseK%-4d m=$m%-3d k=$k%-4d recall@10 = ${hits / 100.0}%.2f")
     }
+
+    // IVF-ADC: probed-scan recall at the gate setting across nProbe
+    val model = Pq.trainResidual(corpus,
+      Pq.ResidualParams(coarseK = 64, m = 16, k = 256, iters = 5))
+    val codes = Pq.encodeResidual(corpus, model).localCheckpoint(true)
+    Seq(4, 8, 16, 64).foreach { nProbe =>
+      val approx = Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"  ivfadc nProbe=$nProbe%-3d recall@10 = ${hits / 100.0}%.2f")
+    }
     spark.stop()
   }
 }

@@ -69,4 +69,23 @@ class PqSpec extends AnyFunSuite {
     assert(resid > flat, s"residual $resid should beat flat $flat")
     assert(resid >= 0.6, s"residual recall $resid too low")
   }
+
+  test("ivfAdcTopK with full probing equals adcTopKResidual; probing prunes") {
+    val corpus = clustered(20, 50, 32, noise = 0.35f, seed = 5).localCheckpoint(true)
+    val qs = corpus.where($"vec_id" % 200 === 0)
+    val model = Pq.trainResidual(corpus, Pq.ResidualParams(coarseK = 20, m = 8, k = 64))
+    val codes = Pq.encodeResidual(corpus, model).localCheckpoint(true)
+    val full = Pq.adcTopKResidual(qs, codes, model, topK = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val probedAll = Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probedAll == full, "probing every list must equal the full scan")
+    // narrow probing still finds the (intra-cluster) exact neighbors
+    val exact = Pq.exactDotTopK(corpus, qs, topK = 10)
+      .select($"query_id", $"neighbor_id").localCheckpoint(true)
+    val probed2 = Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = 4)
+      .select($"query_id", $"neighbor_id")
+    val recall = probed2.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count() / 50.0
+    assert(recall >= 0.5, s"nProbe=4 recall $recall collapsed")
+  }
 }
