@@ -350,6 +350,19 @@ object SparkEntry {
       operators.Curation.packContiguous(
         t(s, d, "documents"), "source", "doc_id", "text", budgetTokens = 2048)),
 
+    // triangle count over the high-quantity co-supply graph (suppliers
+    // sharing an order at l_quantity > 49) — graph analytics with a REAL
+    // SQL oracle: the 3-way edge self-join is exactly expressible in DuckDB
+    "q_supplier_triangles" -> ((s, d) => {
+      val hi = t(s, d, "lineitem").where(col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = hi.as("a").join(hi.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      operators.GraphAlgos.triangleCount(edges)
+    }),
+
     // PageRank determinism gate: fixed planted graph (200 nodes, two affine
     // rings + every (i%10==1) node feeding hub 0), 10 iterations in
     // decimal(20,18). The constant oracle pins the top-5 ranks to 9 dp —
@@ -1345,6 +1358,21 @@ object SparkEntry {
     "kg_modularity" ->
       """SELECT * FROM (VALUES (1::BIGINT, 0.0892::DOUBLE), (2::BIGINT, 0.0892::DOUBLE))
         t(iteration, modularity)""",
+
+    "q_supplier_triangles" ->
+      """WITH hi AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 49),
+        pairs AS (
+          SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS s,
+            greatest(a.l_suppkey, b.l_suppkey) AS t
+          FROM hi a JOIN hi b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        tri AS (
+          SELECT count(*) AS n_triangles
+          FROM pairs e1 JOIN pairs e2 ON e1.t = e2.s
+          JOIN pairs e3 ON e3.s = e1.s AND e3.t = e2.t)
+        SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+          n_triangles::BIGINT AS n_triangles FROM tri""",
 
     // graph-analytics gates over the pinned corpus / planted graph: decimal
     // PageRank is bit-deterministic, so the rounded ranks are constants —

@@ -89,6 +89,28 @@ object GraphAlgos {
     ranks
   }
 
+  /** Global triangle count over the undirected simple graph — one row
+    * (n_edges, n_triangles). Edge-iterator formulation: orient every edge
+    * low→high, join wedges (a<b<c) against the closing edge — each
+    * triangle counted exactly once, no post-division. At web scale the
+    * wedge join keys on the middle vertex; hub skew is bounded by the
+    * standard degree-ordering trick (orienting low-degree → high-degree
+    * instead of id order) — the id orientation here keeps the oracle
+    * SQL-identical.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("s"), greatest(col("src"), col("dst")).as("t"))
+      .where(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    val e1 = und.select(col("s").as("a"), col("t").as("b"))
+    val e2 = und.select(col("s").as("b"), col("t").as("c"))
+    val e3 = und.select(col("s").as("a"), col("t").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Multi-source BFS hop distances: (id, dist) for every vertex reachable
     * from `seeds` within `maxHops` (seeds at dist 0). Frontier loop with
     * anti-join de-visit; the frontier is ids only. Early-exits on an empty

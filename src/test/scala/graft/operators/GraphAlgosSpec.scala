@@ -74,6 +74,15 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("triangleCount: K4 has 4 triangles; duplicates/reversals collapse") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a != b
+    } yield (a, b) // every edge in BOTH directions + self-free
+    val e = (k4 ++ Seq(("a", "b"), ("d", "e"))).toDF("src", "dst") // dup + pendant
+    val r = GraphAlgos.triangleCount(e).as[(Long, Long)].head()
+    assert(r == ((7L, 4L)), s"got $r") // 6 K4 edges + pendant; C(4,3)=4 triangles
+  }
+
   test("degreeStats on a known graph") {
     val r = GraphAlgos.degreeStats(
         edges("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "c"))
