@@ -144,6 +144,33 @@ object SparkEntry {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Shared recall-gate harness for the PQ family: the clustered gate
+    * corpus, the residual model at the gate setting, and recall@10 of the
+    * supplied approximate scan vs the exact inner-product top-10, pinned
+    * ≥ 0.8. One definition so the two gates can never silently measure
+    * different setups.
+    */
+  private def pqRecallGate(s: SparkSession)(
+      approx: (DataFrame, DataFrame, operators.Pq.ResidualModel) => DataFrame): DataFrame = {
+    val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
+      .localCheckpoint(true)
+    val qs = corpus.where(col("vec_id") % 500 === 0)
+    val rp = operators.Pq.ResidualParams(coarseK = 64, m = 16, k = 256, iters = 5)
+    val model = operators.Pq.trainResidual(corpus, rp)
+    val codes = operators.Pq.encodeResidual(corpus, model).localCheckpoint(true)
+    val app = approx(qs, codes, model).select(col("query_id"), col("neighbor_id"))
+    val exact = operators.Pq.exactDotTopK(corpus, qs, topK = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hitCounts = app.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val perQuery = qs.select(col("vec_id").cast("long").as("query_id"))
+      .join(hitCounts, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+    perQuery.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      (sum(col("hits")).cast("double") / (count(lit(1)) * 10) >= 0.8).as("recall_ok"))
+  }
+
   /** Debug-only alias of the gate corpus generator (plans.DebugPq). */
   def debugClusteredVecs(s: SparkSession, nClusters: Int, perCluster: Int,
       dim: Int, seed: Long): DataFrame =
@@ -364,15 +391,17 @@ object SparkEntry {
     }),
 
     // PageRank determinism gate: fixed planted graph (200 nodes, two affine
-    // rings + every (i%10==1) node feeding hub 0), 10 iterations in
-    // decimal(20,18). The constant oracle pins the top-5 ranks to 9 dp —
-    // any arithmetic-order nondeterminism or formula drift flips the hash.
+    // rings + every (i%10==1) node feeding hub 0; DEDUPED — the two affine
+    // maps collide for i=33/133 and pageRank's contract is simple-graph
+    // edges), 10 iterations in decimal(20,18). The constant oracle pins the
+    // top-5 ranks to 9 dp — any arithmetic-order nondeterminism or formula
+    // drift flips the hash.
     "q_pagerank_gate" -> ((s, d) => {
       import s.implicits._
       val edges = (0 until 200).flatMap { i =>
         Seq((i.toLong, ((i * 7 + 1) % 200).toLong), (i.toLong, ((i * 13 + 3) % 200).toLong)) ++
           (if (i % 10 == 1) Seq((i.toLong, 0L)) else Nil)
-      }.toDF("src", "dst")
+      }.distinct.toDF("src", "dst")
       operators.GraphAlgos.pageRank(edges, iterations = 10)
         .select(col("id"), round(col("rank").cast("double"), 9).as("pr"))
         .orderBy(col("pr").desc, col("id")).limit(5)
@@ -432,7 +461,10 @@ object SparkEntry {
     // closure) rather than a pinned gate — it hash-checks the min-label
     // semantics of Resolution.connectedComponents end-to-end.
     "q_dedup_clusters" -> ((s, d) => {
+      // pinned once: CC's fused size-probe plus the ids/edges branches
+      // would otherwise re-run the O(docs × shingles) jaccard join 2-3×
       val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), w = 3, threshold = 0.3)
+        .localCheckpoint(true)
       val ids = pairs.select(col("a").as("entity_id"))
         .unionByName(pairs.select(col("b").as("entity_id"))).distinct()
       Resolution.connectedComponents(ids,
@@ -528,53 +560,17 @@ object SparkEntry {
     // the codebook is data-dependent so the result rows aren't
     // SQL-expressible — the invariant is (and the driver-side sample train
     // is fully deterministic, so 0.87 is an exact constant).
-    "q_pq_recall" -> ((s, d) => {
-      import s.implicits._
-      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
-        .localCheckpoint(true)
-      val qs = corpus.where(col("vec_id") % 500 === 0)
-      val rp = operators.Pq.ResidualParams(coarseK = 64, m = 16, k = 256, iters = 5)
-      val model = operators.Pq.trainResidual(corpus, rp)
-      val codes = operators.Pq.encodeResidual(corpus, model).localCheckpoint(true)
-      val approx = operators.Pq.adcTopKResidual(qs, codes, model, topK = 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = operators.Pq.exactDotTopK(corpus, qs, topK = 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val hitCounts = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-      val perQuery = qs.select(col("vec_id").cast("long").as("query_id"))
-        .join(hitCounts, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
-      perQuery.agg(
-        count(lit(1)).cast("long").as("n_queries"),
-        (sum(col("hits")).cast("double") / (count(lit(1)) * 10) >= 0.8).as("recall_ok"))
-    }),
+    "q_pq_recall" -> ((s, d) =>
+      pqRecallGate(s)((qs, codes, model) =>
+        operators.Pq.adcTopKResidual(qs, codes, model, topK = 10))),
 
     // IVF-ADC gate: the full probed composition — each query ADC-scans only
     // its 4 best coarse lists of 64 (a 16x candidate reduction) and recall
     // holds at 0.87 (probing is NOT the recall limiter on clustered data;
     // the residual quantizer is). Pins ≥ 0.8, same corpus as q_pq_recall.
-    "q_ivfadc_recall" -> ((s, d) => {
-      import s.implicits._
-      val corpus = clusteredVecs(s, nClusters = 40, perCluster = 125, dim = 64, seed = 7)
-        .localCheckpoint(true)
-      val qs = corpus.where(col("vec_id") % 500 === 0)
-      val rp = operators.Pq.ResidualParams(coarseK = 64, m = 16, k = 256, iters = 5)
-      val model = operators.Pq.trainResidual(corpus, rp)
-      val codes = operators.Pq.encodeResidual(corpus, model).localCheckpoint(true)
-      val approx = operators.Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = operators.Pq.exactDotTopK(corpus, qs, topK = 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val hitCounts = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-      val perQuery = qs.select(col("vec_id").cast("long").as("query_id"))
-        .join(hitCounts, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
-      perQuery.agg(
-        count(lit(1)).cast("long").as("n_queries"),
-        (sum(col("hits")).cast("double") / (count(lit(1)) * 10) >= 0.8).as("recall_ok"))
-    }),
+    "q_ivfadc_recall" -> ((s, d) =>
+      pqRecallGate(s)((qs, codes, model) =>
+        operators.Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = 4))),
 
     // ---- multimodal plumbing (decode stubbed; rows-only) ----
 
@@ -1165,9 +1161,11 @@ object SparkEntry {
     "q_pack" ->
       """WITH tok AS (
           SELECT source, doc_id,
+            -- exact TextStats.tokenCountCol replica (same as q_token_count):
+            -- NO empty-token filter, so a leading tab/newline after the
+            -- space-only trim counts identically in both engines
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                        x -> x <> '')) END::BIGINT AS n_tokens
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
           FROM documents),
         c AS (
           SELECT source, doc_id, n_tokens,

@@ -58,6 +58,15 @@ object GraphAlgos {
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
     val dDec = new java.math.BigDecimal(damping.toString)
+    // exact-width decimal for the damping factor: a fixed narrow cast would
+    // silently HALF_UP-quantize an unusual damping (e.g. 0.123456 at scale
+    // 5); the product's precision must still fit 38 (dP + 20 + 1), which
+    // any damping in (0, 1) with ≤ 17 significant digits does
+    val dampingType = {
+      val dp = math.max(dDec.precision, dDec.scale)
+      require(dp + 21 <= 38, s"damping $damping too precise for exact decimal arithmetic")
+      s"decimal($dp,${dDec.scale})"
+    }
     val base = (BigDecimal(1) - BigDecimal(dDec)) / BigDecimal(n)
     val init = (BigDecimal(1) / BigDecimal(n)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
     val baseLit = lit(base.setScale(18, BigDecimal.RoundingMode.HALF_UP).bigDecimal).cast(D)
@@ -80,7 +89,7 @@ object GraphAlgos {
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (baseLit + (lit(dDec).cast("decimal(6,5)") *
+          (baseLit + (lit(dDec).cast(dampingType) *
               coalesce(col("in_sum"), lit(0).cast(D))).cast(D))
             .cast(D).as("rank"))
         .localCheckpoint(true)

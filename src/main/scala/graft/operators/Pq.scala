@@ -66,7 +66,12 @@ object Pq {
     xs.iterator.takeWhile(_ => init.length < k).foreach { x =>
       if (seen.add(x.toSeq)) init += x
     }
-    while (init.length < k) init += init(init.length % math.max(1, init.length))
+    // pad under-filled codebooks by cycling over the DISTINCT points
+    // collected so far (duplicates never attract points — lowest-index
+    // tie-break — so padding only has to keep the array well-formed)
+    val nDistinct = math.max(1, init.length)
+    var pad = 0
+    while (init.length < k) { init += init(pad % nDistinct); pad += 1 }
     var cb = init.toArray
     var it = 0
     while (it < iters) {
@@ -237,46 +242,10 @@ object Pq {
     * candidate, raw vectors never touched.
     */
   def adcTopKResidual(queries: DataFrame, codes: DataFrame, model: ResidualModel,
-      topK: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val m = model.codebooks.length
-    val k = model.codebooks.head.length
-    val dsub = model.codebooks.head.head.length
-    val qs = queries.select(col(idCol).cast("long"), col(embCol))
-      .as[(Long, Array[Float])].collect()
-    val luts = qs.map { case (qid, qv) =>
-      val coarseLut = model.coarse.map(c => graft.extract.VectorOps.dot(qv, c))
-      val lut = Array.ofDim[Double](m, k)
-      var s = 0
-      while (s < m) {
-        val q = subvec(qv, s, dsub)
-        var c = 0
-        while (c < k) { lut(s)(c) = graft.extract.VectorOps.dot(q, model.codebooks(s)(c)); c += 1 }
-        s += 1
-      }
-      (qid, coarseLut, lut)
-    }
-    val bc = spark.sparkContext.broadcast(luts)
-    val scored = codes.select(col(idCol).cast("long"), col("coarse_code"), col("codes"))
-      .as[(Long, Int, Array[Int])]
-      .mapPartitions { it =>
-        val ls = bc.value
-        it.flatMap { case (id, cc, cs) =>
-          ls.iterator.map { case (qid, coarseLut, lut) =>
-            var score = coarseLut(cc); var s = 0
-            while (s < cs.length) { score += lut(s)(cs(s)); s += 1 }
-            (qid, id, score)
-          }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "adc_dot")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dot").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-  }
+      topK: Int, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    // full scan = probing every coarse list; PqSpec asserts the identity,
+    // and the delegation keeps the LUT/score/window logic in ONE place
+    ivfAdcTopK(queries, codes, model, topK, nProbe = model.coarse.length, idCol, embCol)
 
   /** Encode every vector as m small codes — the distributed compression
     * pass: narrow map, codebooks broadcast, output (id, codes). */

@@ -330,17 +330,21 @@ object Resolution {
       .agg(min($"label").as("minl"), collect_set($"label").as("ls"))
       .persist()
     // size-probe + fetch the residual graph in ONE job: collect at most
-    // bound+1 edges (limit pushed — an over-bound graph ships ≤ bound+1
-    // rows, never everything). The persist still backs the rare
+    // cap+1 edges (limit pushed — an over-bound graph ships ≤ cap+1 rows,
+    // never everything). The persist still backs the rare
     // distributed-fallback path. r2 did persist+count then a second
     // collect; at 150k pages the KG chain is fixed-latency-bound, so every
-    // fused job is wall time off T32.
+    // fused job is wall time off T32. The probe is additionally capped at
+    // 1M pairs so an over-bound graph can never ship hundreds of MB of
+    // strings to the driver just to be discarded — residual graphs between
+    // the probe cap and localFinishEdges simply take the distributed loop
+    // (route-identical results, ResolutionSpec).
     val eqEdges = nodeLabels
       .select($"minl".as("dst"), explode($"ls").as("src"))
       .where($"src" =!= $"dst")
       .dropDuplicates("src", "dst")
       .persist()
-    val cap = math.min(localFinishEdges, Int.MaxValue - 2L).toInt
+    val cap = math.min(localFinishEdges, 1000000L).toInt
     val sample = eqEdges.limit(cap + 1).as[(String, String)].collect()
 
     // resolve label -> component root
