@@ -377,6 +377,20 @@ object SparkEntry {
       operators.Curation.packContiguous(
         t(s, d, "documents"), "source", "doc_id", "text", budgetTokens = 2048)),
 
+    // cross-document line dedup (CCNet-style boilerplate pass) over the
+    // pinned multi-line KG page corpus — the sfDir documents are
+    // single-line so the gate runs where the operator has work to do;
+    // summary row pinned as a constant oracle
+    "kg_line_dedup" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      operators.Curation.dedupLines(
+          st.pages.toDF().select(lower(col("url")).as("doc_id"), col("text")))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_lines")).as("total_lines"),
+          sum(col("n_lines_kept")).as("total_kept"),
+          count(when(col("n_lines_kept") === 0, 1)).as("n_fully_boilerplate"))
+    }),
+
     // triangle count over the high-quantity co-supply graph (suppliers
     // sharing an order at l_quantity > 49) — graph analytics with a REAL
     // SQL oracle: the 3-way edge self-join is exactly expressible in DuckDB
@@ -1356,6 +1370,10 @@ object SparkEntry {
     "kg_modularity" ->
       """SELECT * FROM (VALUES (1::BIGINT, 0.0892::DOUBLE), (2::BIGINT, 0.0892::DOUBLE))
         t(iteration, modularity)""",
+
+    "kg_line_dedup" ->
+      """SELECT 1500::BIGINT AS n_docs, 23762::BIGINT AS total_lines,
+          7700::BIGINT AS total_kept, 0::BIGINT AS n_fully_boilerplate""",
 
     "q_supplier_triangles" ->
       """WITH hi AS (

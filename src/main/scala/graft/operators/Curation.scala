@@ -114,6 +114,44 @@ object Curation {
         max(col(valueCol)).as("hi"))
   }
 
+  /** Cross-document line deduplication (the CCNet/RefinedWeb boilerplate
+    * pass): drop every non-blank line that appears in more than
+    * `maxDupDocs` distinct documents (navigation chrome, cookie banners,
+    * repeated footers), reassemble the remaining lines in order. Returns
+    * (id, n_lines, n_lines_kept, text_clean) for every input document —
+    * fully-boilerplate docs survive with empty text_clean, so the caller
+    * can length-filter afterwards.
+    *
+    * Scale shape: one posexplode, one count-distinct keyed by line
+    * content, one anti-join back, one per-doc reassembly aggregate — all
+    * shuffles keyed by line or doc id. At 100 TB, key the dup table by
+    * xxhash64(line) instead of the raw string so the shuffle carries 8
+    * bytes per line (collisions only over-remove, which boilerplate
+    * filtering tolerates); the raw-string form here keeps the semantics
+    * oracle-checkable.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDupDocs: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val dupLines = lines.where(trim(col("line")) =!= "")
+      .groupBy(col("line")).agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > maxDupDocs).select(col("line"))
+    val kept = lines.join(dupLines, Seq("line"), "left_anti")
+    val agg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("text_clean"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Contiguous sequence packing: assign each document to the fixed-budget
     * pack containing its start offset in the stratum's concatenated token
     * stream (pack_id = floor(prefix_tokens / budget)). This is the

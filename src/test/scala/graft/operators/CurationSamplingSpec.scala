@@ -84,6 +84,24 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(bins(("en", 2L))._2 > bins(("en", 1L))._3)
   }
 
+  test("dedupLines removes cross-doc repeated lines, keeps order and blanks") {
+    val footer = "subscribe to our newsletter"
+    val df = docs(
+      1L -> s"alpha one\n$footer\nbeta two",
+      2L -> s"gamma three\n\n$footer",
+      3L -> footer) // fully boilerplate
+    val out = Curation.dedupLines(df)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 2L, "alpha one\nbeta two")))
+    assert(out(2L) == ((3L, 2L, "gamma three\n")), "blank lines survive")
+    assert(out(3L) == ((1L, 0L, "")), "fully-boilerplate doc kept with empty text")
+    // a line repeated within ONE doc is not boilerplate
+    val within = Curation.dedupLines(docs(9L -> "same\nsame"))
+      .as[(Long, Long, Long, String)].head()
+    assert(within == ((9L, 2L, 2L, "same\nsame")))
+  }
+
   test("packContiguous: docs fall in the pack holding their start offset") {
     // 5 docs of 3 tokens each, budget 7: offsets 0,3,6,9,12 -> packs 0,0,0,1,1
     val df = (1L to 5L).map(i => (i, "s0", "a b c")).toDF("doc_id", "source", "text")
