@@ -87,8 +87,8 @@ final case class Community(community_id: String, iteration: Int, description: St
 /** IN_COMMUNITY membership (`SupportAI_Schema.gsql:49`). */
 final case class InCommunity(canonical_id: String, community_id: String)
 
-/** Per-stage, per-partition lineage row — enables checkpoint resume and
-  * makes silently-dropped rows countable (SURVEY.md §4 table last row).
+/** Per-stage lineage row — enables checkpoint resume and makes
+  * silently-dropped rows countable (SURVEY.md §4 table last row).
   */
 final case class LineageRow(
     run_id: String,
@@ -96,4 +96,18 @@ final case class LineageRow(
     input_fingerprint: String,
     rows_out: Long,
     wall_ms: Long,
+    finished_at: Timestamp)
+
+/** Per-output-file (= per final write partition) metrics row for one stage
+  * commit — the north rule's "per-partition lineage + metrics". Row count and
+  * byte size per file make output skew visible (one hot entity bucket shows
+  * up as one fat file), let a resumed run audit exactly which partitions a
+  * stage committed, and cost one footer-cheap job per stage to collect.
+  */
+final case class FileMetricsRow(
+    run_id: String,
+    stage: String,
+    file: String,
+    rows: Long,
+    bytes: Long,
     finished_at: Timestamp)

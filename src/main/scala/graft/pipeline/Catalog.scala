@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.LineageRow
+import graft.model.{FileMetricsRow, LineageRow}
 
 /** Thin Iceberg-style table catalog over a Parquet directory layout
   * (SURVEY.md §7.1: no iceberg-spark-runtime jar ships in /opt/spark/jars and
@@ -280,6 +280,50 @@ final class Catalog(val root: String, val spark: SparkSession) {
     else spark.emptyDataset[LineageRow](org.apache.spark.sql.Encoders.product[LineageRow]).toDF()
   }
 
+  private def fileMetricsPath = s"$root/_lineage_files"
+
+  /** Per-partition metrics for a committed stage table (north rule:
+    * "per-partition lineage + metrics"): one row per output file with its
+    * row count (one group-by-`input_file_name` job over an empty projection
+    * — the vectorized parquet reader never materializes data columns) and
+    * byte size from the recursive FS listing (bucketed tables live under
+    * `_bucket=N/` subdirs). The collect is bounded by the FILE count, never
+    * the row count — at warehouse scale that is O(partitions), the same
+    * cardinality Iceberg's manifest metadata carries.
+    */
+  def appendFileMetrics(runId: String, stage: String, table: String = null): Unit = {
+    val tbl = Option(table).getOrElse(stage)
+    if (!exists(tbl)) return
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path(tbl))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        sizes(st.getPath.getName) = st.getLen
+    }
+    val ts = new Timestamp(System.currentTimeMillis())
+    val perFile = spark.read.parquet(path(tbl))
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        FileMetricsRow(runId, stage, name, r.getLong(1), sizes.getOrElse(name, -1L), ts)
+      }
+    spark.createDataset(perFile.toSeq).toDF().coalesce(1)
+      .write.mode(SaveMode.Append).parquet(fileMetricsPath)
+  }
+
+  def fileMetrics(): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(fileMetricsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(fileMetricsPath)
+    else spark.emptyDataset[FileMetricsRow](org.apache.spark.sql.Encoders.product[FileMetricsRow]).toDF()
+  }
+
   /** A stage is resumable-skippable iff its table committed (_SUCCESS) AND a
     * lineage row recorded the SAME input fingerprint — a changed config or
     * upstream output invalidates the stage (SURVEY.md §3.2 Spark lifecycle).
@@ -294,10 +338,12 @@ final class Catalog(val root: String, val spark: SparkSession) {
 }
 
 object Catalog {
-  /** Run one stage with lineage + resume. `build` must WRITE table `stage`
-    * via the catalog before returning.
+  /** Run one stage with lineage + resume. `build` must WRITE table
+    * `tableName` (defaults to the stage name; incremental stages pass the
+    * standing table they merged into) via the catalog before returning.
     */
-  def stage(cat: Catalog, runId: String, stageName: String, fingerprint: String, resume: Boolean)(
+  def stage(cat: Catalog, runId: String, stageName: String, fingerprint: String, resume: Boolean,
+      tableName: String = null)(
       build: => Long): StageResult = {
     if (resume && cat.isComplete(stageName, fingerprint)) {
       StageResult(stageName, skipped = true, rows = -1L, wallMs = 0L)
@@ -307,6 +353,10 @@ object Catalog {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       cat.appendLineage(LineageRow(runId, stageName, fingerprint, rows, wallMs,
         new Timestamp(System.currentTimeMillis())))
+      // per-partition metrics (north rule): file-level rows/bytes, appended
+      // after the stage-level row so a crash mid-metrics never orphans a
+      // lineage-less table
+      cat.appendFileMetrics(runId, stageName, Option(tableName).getOrElse(stageName))
       StageResult(stageName, skipped = false, rows = rows, wallMs = wallMs)
     }
   }

@@ -284,7 +284,10 @@ object Pipeline {
 
     def stage(name: String)(build: Catalog => Long): Unit = {
       upstream = Pipeline.sha(s"$upstream/$name")
-      results += Catalog.stage(cat, cfg.runId, name, upstream, cfg.resume)(build(cat))
+      // incr_* stages merge into the standing table of the same base name —
+      // per-partition metrics are recorded against that table
+      results += Catalog.stage(cat, cfg.runId, name, upstream, cfg.resume,
+        tableName = name.stripPrefix("incr_"))(build(cat))
     }
 
     /** extraction rows of this run's delta chunks */

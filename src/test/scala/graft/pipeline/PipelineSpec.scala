@@ -120,6 +120,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lin.where(col("rows_out") < 0).count() == 0)
   }
 
+  test("per-partition file metrics cover every stage and reconcile with lineage row counts") {
+    val fm = result.catalog.fileMetrics()
+    val lin = result.catalog.lineage()
+    val linStages = lin.select("stage").distinct().collect().map(_.getString(0)).toSet
+    val fmStages = fm.select("stage").distinct().collect().map(_.getString(0)).toSet
+    // every committed stage table has at least one per-file metrics row
+    assert(linStages.subsetOf(fmStages), s"stages missing file metrics: ${linStages -- fmStages}")
+    // bytes come from the FS listing — every file was found there
+    assert(fm.where(col("bytes") <= 0).count() == 0)
+    // for plain-count stages, per-file rows sum to the stage's lineage count
+    // ("extracted" observes non-empty extractions, so it is excluded)
+    val sums = fm.groupBy("stage").agg(sum("rows").as("file_rows"))
+    val joined = lin.join(sums, "stage")
+      .where(col("stage").isin("pages", "chunks", "triples", "mentions"))
+      .where(col("rows_out") =!= col("file_rows"))
+    assert(joined.count() == 0, "per-file row sums disagree with lineage rows_out")
+  }
+
   test("incremental run over a new crawl batch == full run over the union corpus") {
     val nBase = 200
     val nAll = 280
