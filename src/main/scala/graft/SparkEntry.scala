@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,57 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private val processIdUdf = udf(Normalize.processId _)
+
+  /** Documents text with deterministically planted PII (the sfDir corpus has
+    * none): emails on doc_id%3==0, +CC phones on %5==0, dotted-quad IPv4 on
+    * %7==0. Pure string arithmetic on doc_id so the DuckDB oracle builds the
+    * byte-identical input.
+    */
+  private def piiPlantedText: Column = {
+    val d = col("doc_id")
+    concat(
+      col("text"),
+      when(pmod(d, lit(3)) === 0,
+        concat(lit(" Contact user"), d.cast("string"),
+          lit("@mail.example.com for details."))).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 0,
+        concat(lit(" Call +1 555-"), lpad(pmod(d, lit(1000)).cast("string"), 3, "0"),
+          lit("-0199 today."))).otherwise(lit("")),
+      when(pmod(d, lit(7)) === 0,
+        concat(lit(" Origin 10."), pmod(d, lit(256)).cast("string"), lit(".0."),
+          pmod(d, lit(100)).cast("string"), lit(" logged."))).otherwise(lit("")))
+  }
+
+  /** Deterministic Common-Crawl-style URL per document, exercising every
+    * normalization rule: scheme variants (%2), upper-cased hosts (%7),
+    * www. prefixes (%4), subdomain split (news/blog on %2), trailing
+    * slashes (%3), tracking params + param order (%6), fragments (%9).
+    * Collision design: url_norm is a pure function of doc_id mod 120 (and
+    * source = src{doc_id%20} divides it), so at 500 sf0.01 docs every
+    * canonical URL has 4-5 claimants — real dedup work with an exact oracle.
+    */
+  private def plantedUrlCol: Column = {
+    val d = col("doc_id")
+    val hostBase = concat(
+      when(pmod(d, lit(2)) === 0, lit("news.site")).otherwise(lit("blog.site")),
+      pmod(d, lit(8)).cast("string"), lit(".org"))
+    val host = when(pmod(d, lit(7)) === 0, upper(hostBase)).otherwise(hostBase)
+    concat(
+      when(pmod(d, lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
+      when(pmod(d, lit(4)) === 0, lit("www.")).otherwise(lit("")),
+      host,
+      lit("/"), col("source"), lit("/page"), pmod(d, lit(12)).cast("string"),
+      when(pmod(d, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(d, lit(6)) === 0,
+          concat(lit("?utm_source=feed&ref="), pmod(d, lit(5)).cast("string")))
+        .when(pmod(d, lit(6)) === 1,
+          concat(lit("?ref="), pmod(d, lit(5)).cast("string"), lit("&utm_campaign=x")))
+        .when(pmod(d, lit(6)) === 2,
+          concat(lit("?ref="), pmod(d, lit(5)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(d, lit(9)) === 0, concat(lit("#sec"), pmod(d, lit(3)).cast("string")))
+        .otherwise(lit("")))
+  }
 
   /** KG corpus size scales with the driver's sf tier so bench times are
     * meaningful; generation is deterministic in (seed, nPages).
@@ -376,6 +427,41 @@ object SparkEntry {
     "q_pack" -> ((s, d) =>
       operators.Curation.packContiguous(
         t(s, d, "documents"), "source", "doc_id", "text", budgetTokens = 2048)),
+
+    // ---- web curation (PII redaction / URL canonicalization) ----
+
+    // PII scrub over documents with deterministically planted emails /
+    // phones / IPv4s (the sfDir corpus has none) — counts AND the fully
+    // redacted text are hash-compared against a DuckDB regex replica
+    // (patterns live in the RE2 ∩ Java subset precisely for this)
+    "q_pii" -> ((s, d) =>
+      operators.WebCuration.redactPii(
+          t(s, d, "documents").select(col("doc_id"), piiPlantedText.as("text")))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("text_redacted"))),
+
+    // URL canonicalization: scheme forcing, host lowering, www-strip,
+    // trailing-slash strip, tracking-param drop + param sort — full-table
+    // hash compare of (raw, normalized, registered domain)
+    "q_url_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), plantedUrlCol.as("url"))
+        .select(col("doc_id"), col("url"),
+          operators.WebCuration.normalizeUrlCol(col("url")).as("url_norm"),
+          operators.WebCuration.registeredDomainCol(col("url")).as("domain"))),
+
+    // crawl-frontier dedup: groups of documents whose URLs canonicalize to
+    // the same resource (scheme/case/www/tracking-param/slash variants)
+    "q_url_dedup" -> ((s, d) =>
+      operators.WebCuration.urlDedupGroups(
+        t(s, d, "documents").select(col("doc_id"), plantedUrlCol.as("url")))),
+
+    // per-registered-domain corpus stats (docs, distinct hosts, tokens)
+    "q_domain_stats" -> ((s, d) =>
+      operators.WebCuration.domainStats(
+        t(s, d, "documents").select(col("doc_id"), plantedUrlCol.as("url"), col("text")))),
 
     // cross-document line dedup (CCNet-style boilerplate pass) over the
     // pinned multi-line KG page corpus — the sfDir documents are
@@ -928,6 +1014,47 @@ object SparkEntry {
 
   // ----------------------------------------------------------- oracle SQL
 
+  /** Shared CTE chain for the URL oracles: build the byte-identical planted
+    * URL (same string arithmetic as [[plantedUrlCol]]), then replicate
+    * [[operators.WebCuration.normalizeUrlCol]] operator-for-operator —
+    * fragment drop, host lower + www-strip, trailing-slash strip, tracking-
+    * param filter, param sort, https forcing.
+    */
+  private val UrlCtes: String =
+    """WITH u AS (
+          SELECT doc_id, text,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+            (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+            (CASE WHEN doc_id % 7 = 0
+              THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'news.site' ELSE 'blog.site' END)
+                         || CAST(doc_id % 8 AS VARCHAR) || '.org')
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'news.site' ELSE 'blog.site' END)
+                   || CAST(doc_id % 8 AS VARCHAR) || '.org' END) ||
+            '/' || source || '/page' || CAST(doc_id % 12 AS VARCHAR) ||
+            (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+            (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                  WHEN doc_id % 6 = 1 THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+                  WHEN doc_id % 6 = 2 THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 9 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+          FROM documents),
+        parts AS (
+          SELECT doc_id, text, url,
+            regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+              '^www\.', '') AS host,
+            regexp_replace(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+              '/+$', '') AS pth,
+            regexp_extract(nofrag, '\?(.*)$', 1) AS qry
+          FROM (SELECT *, regexp_replace(url, '#.*$', '') AS nofrag FROM u)),
+        norm AS (
+          SELECT doc_id, text, url, host,
+            'https://' || host || pth ||
+              (CASE WHEN qn <> '' THEN '?' || qn ELSE '' END) AS url_norm
+          FROM (SELECT *, array_to_string(list_sort(list_filter(str_split(qry, '&'),
+              p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+                   AND NOT starts_with(p, 'gclid='))), '&') AS qn
+            FROM parts))"""
+
   def oracleSql: Map[String, String] = ListMap(
     // scaled-integer sums mirror the Spark side exactly: round(x*100)::BIGINT
     // is the exact 2dp integer, sum is exact, /100.0 is the same IEEE divide
@@ -1189,6 +1316,53 @@ object SparkEntry {
         SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM c GROUP BY source, pack_id""",
+
+    // PII scrub: byte-identical planted input (pure string arithmetic on
+    // doc_id) + the same RE2∩Java regexes, counts on the original text,
+    // replaces applied in the same fixed order with the 'g' flag (Spark
+    // regexp_replace is global)
+    "q_pii" ->
+      """WITH planted AS (
+          SELECT doc_id,
+            text ||
+            (CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com for details.' ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN ' Call +1 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 today.' ELSE '' END) ||
+            (CASE WHEN doc_id % 7 = 0 THEN ' Origin 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged.' ELSE '' END) AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+        FROM planted""",
+
+    "q_url_normalize" ->
+      raw"""$UrlCtes
+        SELECT doc_id, url, url_norm,
+          CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) <> ''
+               THEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) ELSE host END AS domain
+        FROM norm""",
+
+    "q_url_dedup" ->
+      raw"""$UrlCtes
+        SELECT url_norm, count(*) AS cnt, min(doc_id) AS keep_id
+        FROM norm GROUP BY url_norm HAVING count(*) > 1""",
+
+    "q_domain_stats" ->
+      raw"""$UrlCtes
+        SELECT
+          CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) <> ''
+               THEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) ELSE host END AS domain,
+          count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+          CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
+        FROM norm GROUP BY 1""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS cnt, min(doc_id) AS keep_id
