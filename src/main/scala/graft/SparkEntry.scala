@@ -539,6 +539,34 @@ object SparkEntry {
       Dedup.exactGroups(doc, "pfx").where(col("cnt") > 1)
     }),
 
+    // incremental Bloom dedup gate: even-ids play the standing history,
+    // odd-ids the new crawl batch, keyed on the 50-char prefix so the two
+    // sides genuinely overlap. The bloom-filtered "new" set is reconciled
+    // against the exact anti-join: zero false negatives (Bloom's one-sided
+    // guarantee — a true duplicate is never re-admitted) and a bounded
+    // false-positive drop count, pinned as a constant oracle
+    "q_bloom_dedup" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 50).as("text"))
+      val history = keyed.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = keyed.where(pmod(col("doc_id"), lit(2)) =!= 0)
+      val exactNew = batch
+        .withColumn("digest", md5(col("text").cast("binary")))
+        .join(history.select(md5(col("text").cast("binary")).as("digest")),
+          Seq("digest"), "left_anti")
+        .select(col("doc_id"), lit(1).as("e"))
+      val bloomNew = Dedup.bloomNewDocs(history, batch, fpp = 0.01)
+        .select(col("doc_id"), lit(1).as("b"))
+      exactNew.join(bloomNew, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("b") === 1 && col("e").isNull, 1).otherwise(0)).cast("long").as("n_false_neg"),
+          sum(when(col("e") === 1 && col("b").isNull, 1).otherwise(0)).cast("long").as("n_dropped_new"),
+          sum(when(col("e") === 1, 1).otherwise(0)).cast("long").as("n_exact_new"))
+        .select(col("n_false_neg"),
+          (col("n_dropped_new") <= lit(5) + col("n_exact_new") * 0.05).as("fp_ok"),
+          (col("n_exact_new") > 0).as("has_new"))
+    }),
+
     // maxHamming=3 is the Manku/Jain/Sarma WWW'07 web-dedup operating point;
     // r1's maxHamming=12 degenerated the pigeonhole blocking (4-bit chunks →
     // near-quadratic candidate join, 59.6s of the bench) and is now rejected
@@ -1605,6 +1633,11 @@ object SparkEntry {
       """SELECT md5(substr(text, 1, 50)) AS fingerprint, count(*) AS cnt,
           min(doc_id) AS keep_id
         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+
+    // Bloom dedup invariants (constant oracle): the no-false-negative
+    // guarantee and the fp bound hold at every corpus size
+    "q_bloom_dedup" ->
+      "SELECT CAST(0 AS BIGINT) AS n_false_neg, true AS fp_ok, true AS has_new",
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

@@ -164,4 +164,24 @@ class CurationOpsSpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
+
+  test("bloomNewDocs: no false negatives vs exact anti-join, bounded false-positive drops") {
+    // history 0..999; batch 1000..1499 where every third doc repeats a
+    // history text — those must NEVER survive the bloom probe
+    val history = (0L until 1000L).map(i => (i, s"history document number $i")).toDF("doc_id", "text")
+    val batch = (1000L until 1500L).map { i =>
+      val text = if (i % 3 == 0) s"history document number ${i % 1000}" else s"fresh document $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val bloomNew = Dedup.bloomNewDocs(history, batch, fpp = 0.01)
+      .select($"doc_id").as[Long].collect().toSet
+    val exactNew = batch.join(
+        history.select(md5($"text".cast("binary")).as("digest")),
+        md5($"text".cast("binary")) === $"digest", "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(bloomNew.subsetOf(exactNew), "bloom re-admitted a true duplicate (false negative)")
+    val dropped = exactNew -- bloomNew
+    assert(dropped.size <= 5 + 0.05 * exactNew.size,
+      s"bloom dropped ${dropped.size} of ${exactNew.size} genuinely-new docs — fpp far above 1%")
+  }
 }
