@@ -418,6 +418,19 @@ object SparkEntry {
           Map("en" -> 80, "zh" -> 25), defaultPct = 50)
         .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    // temperature mixture resampling (α=0.5): per-language rate table,
+    // then the deterministic ppm-hash sample it induces — flattens the
+    // source distribution the way training-data mixes are rebalanced
+    "q_temperature_rates" -> ((s, d) =>
+      operators.Curation.temperatureRates(t(s, d, "documents"), "lang", targetTotal = 300)),
+
+    "q_temperature_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rates = operators.Curation.temperatureRates(docs, "lang", targetTotal = 300)
+      operators.Curation.temperatureSample(docs, rates, "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // per-language length deciles (curriculum/packing buckets)
     "q_quantile_bins" -> ((s, d) =>
       operators.Curation.quantileBins(
@@ -1317,6 +1330,46 @@ object SparkEntry {
           FROM fp)
         SELECT doc_id, lang, bucket FROM b
         WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 25 ELSE 50 END""",
+
+    // temperature rates: Σ√n folded in sorted-lang order (list_reduce over
+    // an ORDER BY list) to match the engine's deterministic driver fold;
+    // everything else is IEEE double arithmetic in the identical order
+    "q_temperature_rates" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        w AS (SELECT list_reduce(
+            list_prepend(0.0::DOUBLE, list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+            (a, x) -> a + x) AS sumw FROM c)
+        SELECT lang, n_docs,
+          least(1000000, CAST(floor(1000000.0 * 300.0 * sqrt(CAST(n_docs AS DOUBLE))
+            / (SELECT sumw FROM w) / n_docs) AS BIGINT)) AS rate_ppm
+        FROM c""",
+
+    // the sample that rate table induces under the ppm FNV bucket
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        w AS (SELECT list_reduce(
+            list_prepend(0.0::DOUBLE, list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+            (a, x) -> a + x) AS sumw FROM c),
+        r AS (SELECT lang,
+          least(1000000, CAST(floor(1000000.0 * 300.0 * sqrt(CAST(n_docs AS DOUBLE))
+            / (SELECT sumw FROM w) / n_docs) AS BIGINT)) AS rate_ppm
+          FROM c),
+        fp AS (
+          SELECT doc_id, lang, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                i -> unicode(substr(CAST(doc_id AS VARCHAR), i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang,
+            ((CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+              % 1000000) + 1000000) % 1000000 AS bucket
+          FROM fp)
+        SELECT doc_id, b.lang AS lang FROM b JOIN r ON b.lang = r.lang
+        WHERE bucket < rate_ppm""",
 
     "q_quantile_bins" ->
       """WITH binned AS (

@@ -152,6 +152,49 @@ object Curation {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Temperature-based mixture resampling (the Pile / CC-mix reweighting
+    * pass): per-stratum sampling rates r_s = min(1, T·√n_s / Σ√n / n_s)
+    * flatten the source distribution toward α = 0.5 (α fixed at ½ so the
+    * weight is `sqrt` — correctly rounded IEEE in every engine, unlike
+    * `pow`, which keeps the rate table bit-reproducible in the oracle).
+    * `targetTotal` is the desired output corpus size. Returns one row per
+    * stratum: (stratum, n_docs, rate_ppm) with the rate floored to parts-
+    * per-million — the integer form the deterministic sampler consumes.
+    *
+    * Scale: one partial-agg count shuffle over the corpus; the rate table
+    * is O(strata) and broadcasts back for the sampling pass.
+    */
+  def temperatureRates(
+      df: DataFrame,
+      strataCol: String,
+      targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    // Σ√n folded in SORTED stratum order on the driver (O(strata) rows):
+    // a distributed float sum is partition-order-dependent, which would
+    // break the bit-reproducibility the oracle compare needs
+    val sumW = counts.select(col(strataCol).cast("string"), col("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).foldLeft(0.0)((a, kv) => a + math.sqrt(kv._2.toDouble))
+    counts.select(
+      col(strataCol), col("n_docs"),
+      least(lit(1000000L),
+        floor(lit(1000000.0) * lit(targetTotal.toDouble) * sqrt(col("n_docs"))
+          / lit(sumW) / col("n_docs")).cast("long")).as("rate_ppm"))
+  }
+
+  /** Apply a [[temperatureRates]] table: keep a row iff its FNV hash bucket
+    * (ppm-granular) falls under its stratum's rate. Broadcast of the
+    * O(strata) rate table + a narrow filter — the corpus never shuffles.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      rates: DataFrame,
+      strataCol: String,
+      keyCol: String): DataFrame =
+    df.join(broadcast(rates.select(col(strataCol), col("rate_ppm"))), strataCol)
+      .where(hashBucketCol(col(keyCol), 1000000) < col("rate_ppm"))
+      .drop("rate_ppm")
+
   /** Contiguous sequence packing: assign each document to the fixed-budget
     * pack containing its start offset in the stratum's concatenated token
     * stream (pack_id = floor(prefix_tokens / budget)). This is the

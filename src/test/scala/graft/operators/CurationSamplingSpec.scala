@@ -111,4 +111,27 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(packs(("s0", 0L)) == ((3L, 9L)))
     assert(packs(("s0", 1L)) == ((2L, 6L)))
   }
+
+  test("temperatureRates: α=0.5 weights, ppm floor, cap at 1e6; sample honors the rates") {
+    // strata: a=400 docs, b=100, c=4 → √n = 20, 10, 2; Σ√n = 32
+    val df = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "b")) ++
+      (2000 until 2004).map(i => (i.toLong, "c"))).toDF("doc_id", "stratum")
+    val rates = Curation.temperatureRates(df, "stratum", targetTotal = 64)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rates("a") == ((400L, math.floor(1e6 * 64.0 * 20 / 32 / 400).toLong))) // 100000 ppm
+    assert(rates("b") == ((100L, math.floor(1e6 * 64.0 * 10 / 32 / 100).toLong))) // 200000 ppm
+    assert(rates("c") == ((4L, 1000000L))) // capped: 64·2/32/4 = 1.0 → 1e6
+    // the flattening property: rarer strata sample at a HIGHER rate
+    assert(rates("a")._2 < rates("b")._2 && rates("b")._2 < rates("c")._2)
+
+    val ratesDf = Curation.temperatureRates(df, "stratum", targetTotal = 64)
+    val sampled = Curation.temperatureSample(df, ratesDf, "stratum", "doc_id")
+    // every kept row's bucket is under its stratum's rate, and rerunning
+    // yields the identical sample (hash determinism)
+    val again = Curation.temperatureSample(df, ratesDf, "stratum", "doc_id")
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+    val all4 = sampled.where($"stratum" === "c").count()
+    assert(all4 == 4L) // rate 1e6 keeps everything
+  }
 }
