@@ -58,6 +58,24 @@ object SparkEntry {
           pmod(d, lit(100)).cast("string"), lit(" logged."))).otherwise(lit("")))
   }
 
+  /** Multi-line planted input for the C4 cleaning rules (the sfDir docs are
+    * single-line): line 1 = the doc text with a terminal dot, then lines
+    * exercising every rule — short lines (%2), javascript boilerplate (%3),
+    * lorem-ipsum pages (%11), code-brace pages (%13).
+    */
+  private def c4PlantedText: Column = {
+    val d = col("doc_id")
+    concat(
+      col("text"), lit(".\n"),
+      when(pmod(d, lit(2)) === 0, lit("This line has five proper words."))
+        .otherwise(lit("too short")), lit("\n"),
+      when(pmod(d, lit(3)) === 0, lit("Please enable JavaScript to view the comments."))
+        .otherwise(lit("Another complete sentence sits right here.")), lit("\n"),
+      when(pmod(d, lit(11)) === 0, lit("lorem ipsum dolor sit amet paragraph text."))
+        .otherwise(lit("Final sentence line with many words too.")),
+      when(pmod(d, lit(13)) === 0, lit("\nvar x = { a: 1 };")).otherwise(lit("")))
+  }
+
   /** Deterministic Common-Crawl-style URL per document, exercising every
     * normalization rule: scheme variants (%2), upper-cased hosts (%7),
     * www. prefixes (%4), subdomain split (news/blog on %2), trailing
@@ -417,6 +435,13 @@ object SparkEntry {
           t(s, d, "documents"), "lang", "doc_id",
           Map("en" -> 80, "zh" -> 25), defaultPct = 50)
         .select(col("doc_id"), col("lang"), col("bucket"))),
+
+    // C4-style heuristic cleaning (Raffel et al. 2020 §2.2) over planted
+    // multi-line pages — full row/hash compare of line counts, doc verdicts
+    // and cleaned text against the DuckDB rule replica
+    "q_c4_clean" -> ((s, d) =>
+      operators.Curation.c4Clean(
+        t(s, d, "documents").select(col("doc_id"), c4PlantedText.as("text")))),
 
     // temperature mixture resampling (α=0.5): per-language rate table,
     // then the deterministic ppm-hash sample it induces — flattens the
@@ -1330,6 +1355,36 @@ object SparkEntry {
           FROM fp)
         SELECT doc_id, lang, bucket FROM b
         WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 25 ELSE 50 END""",
+
+    // C4 cleaning: identical planted multi-line input (chr(10) joins), the
+    // same per-line rules via list_filter, same doc verdict
+    "q_c4_clean" ->
+      """WITH planted AS (
+          SELECT doc_id,
+            text || '.' || chr(10) ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'This line has five proper words.'
+                  ELSE 'too short' END) || chr(10) ||
+            (CASE WHEN doc_id % 3 = 0 THEN 'Please enable JavaScript to view the comments.'
+                  ELSE 'Another complete sentence sits right here.' END) || chr(10) ||
+            (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet paragraph text.'
+                  ELSE 'Final sentence line with many words too.' END) ||
+            (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var x = { a: 1 };' ELSE '' END) AS t
+          FROM documents),
+        k AS (
+          SELECT doc_id, t, str_split(t, chr(10)) AS lines,
+            list_filter(str_split(t, chr(10)), l ->
+              (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+               OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+              AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+              AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+          FROM planted)
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+           AND NOT contains(t, '{')) AS keep_doc,
+          array_to_string(kept, chr(10)) AS text_clean
+        FROM k""",
 
     // temperature rates: Σ√n folded in sorted-lang order (list_reduce over
     // an ORDER BY list) to match the engine's deterministic driver fold;

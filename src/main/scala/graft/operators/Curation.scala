@@ -114,6 +114,39 @@ object Curation {
         max(col(valueCol)).as("hi"))
   }
 
+  /** C4-style heuristic cleaning (Raffel et al. 2020, §2.2 — the rules the
+    * original C4 corpus was built with, minus the word-list filter):
+    * keep a line iff it ends in terminal punctuation (. ! ? "), has ≥ 5
+    * whitespace words, and does not mention "javascript" (the
+    * enable-javascript boilerplate tell); keep a document iff ≥ 3 lines
+    * survive AND the raw text contains neither "lorem ipsum" nor "{"
+    * (placeholder/code tells). Returns every input row with
+    * (n_lines, n_kept, keep_doc, text_clean) so the caller can filter or
+    * audit drop reasons.
+    *
+    * All array-lambda string ops over one split — a narrow codegen'd
+    * column, zero shuffles, scan-speed at 100 TB like the rest of this
+    * file.
+    */
+  def c4Clean(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l => {
+      val s = trim(l)
+      (s.endsWith(".") || s.endsWith("!") || s.endsWith("?") || s.endsWith("\"")) &&
+        size(split(s, "\\s+")) >= 5 &&
+        !contains(lower(s), lit("javascript"))
+    })
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= 3 &&
+        !contains(lower(t), lit("lorem ipsum")) &&
+        !contains(t, lit("{"))).as("keep_doc"),
+      array_join(kept, "\n").as("text_clean"))
+  }
+
   /** Cross-document line deduplication (the CCNet/RefinedWeb boilerplate
     * pass): drop every non-blank line that appears in more than
     * `maxDupDocs` distinct documents (navigation chrome, cookie banners,

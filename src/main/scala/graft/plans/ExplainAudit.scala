@@ -127,7 +127,38 @@ object ExplainAudit {
         // the probed-cluster literal must land in PartitionFilters (pruning
         // at file-listing time), not in a post-scan Filter
         Seq("PartitionFilters: [cluster"),
-        "materialized IVF probes scan only the probed clusters' partitions")
+        "materialized IVF probes scan only the probed clusters' partitions"),
+
+      Check("temperature sample: broadcast rate table, corpus never shuffles",
+        s => {
+          // a materialized rate table (how a standing pipeline uses it —
+          // rates are computed once per epoch, sampling runs per scan):
+          // the per-scan plan must be broadcast + narrow filter only.
+          // Multi-row and range-derived so Catalyst can't constant-fold it
+          // into the scan (a single literal row degenerates to a pushed
+          // filter — even narrower, but not the general shape under test)
+          val rates = s.range(0, 3)
+            .select(concat(lit("l"), col("id")).as("lang"),
+              (col("id") * 100000L + 300000L).as("rate_ppm"))
+          graft.operators.Curation.temperatureSample(t("documents"), rates, "lang", "doc_id")
+        },
+        Seq("BroadcastHashJoin"),
+        "mixture resampling is a broadcast + narrow filter at any corpus size",
+        mustNotContain = Seq("Exchange hashpartitioning")),
+
+      Check("bloom history probe is map-only on the batch side",
+        s => {
+          val docs = t("documents")
+          graft.operators.Dedup.bloomNewDocs(
+            docs.where(pmod(col("doc_id"), lit(2)) === 0),
+            docs.where(pmod(col("doc_id"), lit(2)) =!= 0))
+        },
+        // probing the broadcast Bloom filter is Filter+Project over the
+        // scan — the batch must reach the filter without any Exchange and
+        // without joining the history table
+        Seq("Filter"),
+        "incremental dedup never reshuffles or re-joins the history",
+        mustNotContain = Seq("Exchange hashpartitioning", "SortMergeJoin", "BroadcastHashJoin"))
     )
 
     var failures = 0

@@ -112,6 +112,25 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(packs(("s0", 1L)) == ((2L, 6L)))
   }
 
+  test("c4Clean applies the C4 line and document rules") {
+    val good = "This is a fine sentence with words."
+    val df = Seq(
+      (1L, s"$good\n$good\n$good"),                            // 3 good lines → keep
+      (2L, s"$good\nno terminal punctuation here\n$good"),     // 2 kept → drop
+      (3L, s"$good\nShort line.\n$good\n$good"),               // <5 words line dropped, doc kept
+      (4L, s"$good\nPlease enable JavaScript to see this.\n$good\n$good"), // js line out
+      (5L, s"$good\n$good\n$good\nlorem ipsum dolor sit."),    // lorem → drop doc
+      (6L, s"$good\n$good\n$good\nvar x = { };")               // brace → drop doc
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Clean(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+    assert(out(0) == ((1L, 3L, 3L, true, s"$good\n$good\n$good")))
+    assert(out(1)._3 == 2L && !out(1)._4)
+    assert(out(2) == ((3L, 4L, 3L, true, s"$good\n$good\n$good")))
+    assert(out(3)._3 == 3L && out(3)._4 && !out(3)._5.toLowerCase.contains("javascript"))
+    assert(!out(4)._4 && !out(5)._4) // lorem ipsum / brace pages dropped
+  }
+
   test("temperatureRates: α=0.5 weights, ppm floor, cap at 1e6; sample honors the rates") {
     // strata: a=400 docs, b=100, c=4 → √n = 20, 10, 2; Σ√n = 32
     val df = ((0 until 400).map(i => (i.toLong, "a")) ++
