@@ -577,6 +577,12 @@ object SparkEntry {
       Dedup.exactGroups(doc, "pfx").where(col("cnt") > 1)
     }),
 
+    // Lee-et-al-style repeated-substring coverage: per-doc fraction of
+    // token positions inside an 8-token window shared with another doc —
+    // exact SQL recompute oracle (same tokenization, same interval union)
+    "q_substring_dup" -> ((s, d) =>
+      Dedup.substringDupStats(t(s, d, "documents"), windowTokens = 8)),
+
     // incremental Bloom dedup gate: even-ids play the standing history,
     // odd-ids the new crawl batch, keyed on the 50-char prefix so the two
     // sides genuinely overlap. The bloom-filtered "new" set is reconciled
@@ -1746,6 +1752,37 @@ object SparkEntry {
     // guarantee and the fp bound hold at every corpus size
     "q_bloom_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS n_false_neg, true AS fp_ok, true AS has_new",
+
+    // repeated-substring coverage: same tokenization as q_token_count
+    // (minus empties), 8-token windows, cross-doc distinct-count >= 2,
+    // gaps-and-islands interval union over sorted window starts
+    "q_substring_dup" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        win0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+            i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) AS w
+          FROM toks),
+        win AS (SELECT doc_id, w.pos AS pos, w.gram AS gram FROM win0),
+        dg AS (SELECT gram FROM win GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        dw AS (SELECT doc_id, pos FROM win JOIN dg USING (gram)),
+        cov AS (
+          SELECT doc_id, pos,
+            max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM dw),
+        c2 AS (
+          SELECT doc_id, count(*) AS n_dup_windows,
+            CAST(sum(greatest(0, (pos + 8) - greatest(coalesce(prev_end, pos), pos))) AS BIGINT) AS covered
+          FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          coalesce(c2.n_dup_windows, 0) AS n_dup_windows,
+          coalesce(c2.covered, 0) AS covered_tokens,
+          CASE WHEN len(t.tk) > 0
+               THEN coalesce(c2.covered, 0) / len(t.tk) ELSE 0.0 END AS dup_frac
+        FROM toks t LEFT JOIN c2 USING (doc_id)""",
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

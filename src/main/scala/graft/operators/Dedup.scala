@@ -415,6 +415,64 @@ object Dedup {
         round($"cos", 6).as("cos"))
   }
 
+  // -------------------------------------------- repeated-substring coverage
+
+  /** Cross-document repeated-substring statistics — the windowed-hash
+    * approximation of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr): every `windowTokens`-token
+    * window shared by ≥ `minDocs` distinct documents is a duplicated span;
+    * per document we report the window count and the number of token
+    * positions covered by the union of those spans (gaps-and-islands over
+    * the sorted window starts — no position explode). Windowed detection
+    * catches every duplicated substring of length ≥ windowTokens, the same
+    * guarantee band the suffix-array method provides at its cut-off, and
+    * unlike a suffix array it is a pure groupBy/join plan.
+    *
+    * Output per input row: (id, n_tokens, n_dup_windows, covered_tokens,
+    * dup_frac) — docs with no duplicated spans carry zeros.
+    *
+    * Scale: the window table is O(total tokens) rows, shuffled once keyed
+    * by the window text. At 100 TB key by xxhash64(gram) instead (8-byte
+    * shuffle key; collisions only over-count, which a dup FRACTION
+    * tolerates) and cap per-gram doc frequency like [[ngramJaccardPairs]];
+    * the raw-string key here keeps the semantics exactly DuckDB-checkable.
+    */
+  def substringDupStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= lit(""))
+    val base = df.select(col(idCol), toks.as("tk"))
+    val wins = base.select(col(idCol),
+        explode(when(size(col("tk")) >= w,
+          transform(sequence(lit(1), greatest(size(col("tk")) - (w - 1), lit(1))),
+            i => struct(i.as("pos"), concat_ws(" ", slice(col("tk"), i, lit(w))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("win"))
+      .select(col(idCol), col("win.pos").as("pos"), col("win.gram").as("gram"))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs).select(col("gram"))
+    val dupWins = wins.join(dupGrams, Seq("gram"), "left_semi")
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = dupWins
+      .withColumn("prev_end", max(col("pos") + w).over(ord))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(greatest(lit(0),
+          (col("pos") + w) - greatest(coalesce(col("prev_end"), col("pos")), col("pos"))))
+          .cast("long").as("covered_tokens"))
+    base.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   // ------------------------------------------------- history (Bloom) dedup
 
   /** Incremental exact dedup of a new crawl batch against an UNBOUNDED

@@ -165,6 +165,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("substringDupStats: shared windows found, interval union merges overlaps, clean docs zero") {
+    // docs 1 and 2 share tokens a1..a10 (10 tokens) at different offsets;
+    // doc 3 is clean; window w=4
+    val shared = (1 to 10).map(i => s"a$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared x1 x2 x3"),
+      (2L, s"y1 y2 $shared"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(df, windowTokens = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+    // doc 1: windows at pos 1..7 over a1..a10 are shared (7 windows);
+    // union covers a1..a10 = 10 tokens of 13
+    assert(out(0) == ((1L, 13L, 7L, 10L, 10.0 / 13.0)))
+    // doc 2: same 7 windows at pos 3..9, covering 10 of 12 tokens
+    assert(out(1) == ((2L, 12L, 7L, 10L, 10.0 / 12.0)))
+    assert(out(2) == ((3L, 8L, 0L, 0L, 0.0)))
+  }
+
   test("bloomNewDocs: no false negatives vs exact anti-join, bounded false-positive drops") {
     // history 0..999; batch 1000..1499 where every third doc repeats a
     // history text — those must NEVER survive the bloom probe
