@@ -416,6 +416,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
           col("n_bigrams"), col("dup_bigram_frac"), col("repetition_ok"))),
 
+    // vocabulary heavy hitters: top-100 tokens by tf with df, deterministic
+    // (tf desc, token) cut — TakeOrderedAndProject, no global sort
+    "q_vocab_topk" -> ((s, d) =>
+      TextStats.termStats(t(s, d, "documents"), k = 100)),
+
     // ---- corpus curation (decontaminate / sample / bin / pack) ----
 
     // benchmark decontamination: docs with doc_id % 20 == 0 play the
@@ -1296,6 +1301,17 @@ object SparkEntry {
     // Gopher repetition gates: exact SQL recompute of the dup-line and
     // dup-bigram fractions (both are small-integer divisions — bit-exact on
     // both engines before the shared round(…, 6))
+    // vocabulary heavy hitters: the same tokenization, the same total-order
+    // tie-break, same k — the LIMIT picks identical rows in both engines
+    "q_vocab_topk" ->
+      """WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          FROM documents)
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+        ORDER BY tf DESC, token LIMIT 100""",
+
     "q_repetition" ->
       """WITH base AS (
           SELECT doc_id,

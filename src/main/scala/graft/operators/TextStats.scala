@@ -79,6 +79,26 @@ object TextStats {
           col("top_token_share") <= maxTopTokenShare)
   }
 
+  /** Corpus vocabulary heavy hitters: top-k tokens by term frequency with
+    * their document frequency — the table stopword lists, tokenizer vocabs
+    * and per-token sampling weights are built from. Tie-break is (tf desc,
+    * token asc), total order, so the top-k cut is deterministic.
+    *
+    * Scale: one explode + one partial-agg shuffle keyed by token (Zipf
+    * makes hot tokens the heavy keys — map-side combine absorbs them:
+    * each of P partitions emits ≤ 1 partial row per token), then top-k as
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def termStats(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= lit(""))
+    df.select(col(idCol), explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, the standard
     * web-pretraining gates): fraction of duplicate non-blank lines and
     * fraction of duplicate word bigrams, with a pass/fail column at the

@@ -165,6 +165,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("termStats: top-k by tf with df, deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "THE cat runs"),
+      (3L, "zebra apple")).toDF("doc_id", "text")
+    val out = TextStats.termStats(df, k = 3).as[(String, Long, Long)].collect()
+    assert(out(0) == (("the", 3L, 2L))) // case-folded, tf 3 across 2 docs
+    assert(out(1) == (("cat", 2L, 2L)))
+    // tf=1 tie broken by token asc: "and" < "apple" < ...
+    assert(out(2) == (("and", 1L, 1L)))
+  }
+
   test("substringDupStats: shared windows found, interval union merges overlaps, clean docs zero") {
     // docs 1 and 2 share tokens a1..a10 (10 tokens) at different offsets;
     // doc 3 is clean; window w=4
