@@ -582,6 +582,14 @@ object SparkEntry {
       Dedup.exactGroups(doc, "pfx").where(col("cnt") > 1)
     }),
 
+    // per-class embedding centroids (mean-pool in sorted-id fold order —
+    // bit-deterministic doubles): scalar projections hash-compared against
+    // the DuckDB list_reduce replica
+    "q_embed_centroids" -> ((s, d) =>
+      graft.extract.Embeddings.centroids(
+          t(s, d, "embeddings"), "label", "vec_id")
+        .select(col("label"), col("n_vecs"), col("dim"), col("norm"), col("c0"))),
+
     // Lee-et-al-style repeated-substring coverage: per-doc fraction of
     // token positions inside an 8-token window shared with another doc —
     // exact SQL recompute oracle (same tokenization, same interval union)
@@ -1768,6 +1776,26 @@ object SparkEntry {
     // guarantee and the fp bound hold at every corpus size
     "q_bloom_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS n_false_neg, true AS fp_ok, true AS has_new",
+
+    // embedding centroids: same sorted-id left fold (list_reduce's no-init
+    // form uses the first element as the accumulator, exactly the engine's
+    // element_at(1) + fold-over-rest), double casts, same norm fold
+    "q_embed_centroids" ->
+      """WITH g AS (
+          SELECT label, count(*) AS n_vecs,
+            list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vecs
+          FROM embeddings GROUP BY label),
+        c AS (
+          SELECT label, n_vecs,
+            list_transform(
+              list_reduce(vecs, (a, v) -> list_transform(range(1, len(a) + 1), i -> a[i] + v[i])),
+              x -> x / n_vecs) AS centroid
+          FROM g)
+        SELECT label, n_vecs, len(centroid) AS dim,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(centroid, x -> x * x)), (a, b) -> a + b)) AS norm,
+          centroid[1] AS c0
+        FROM c""",
 
     // repeated-substring coverage: same tokenization as q_token_count
     // (minus empties), 8-token windows, cross-doc distinct-count >= 2,

@@ -165,6 +165,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("centroids: exact mean pool, bit-identical across partitionings") {
+    import graft.extract.Embeddings
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 2.0f)), (2L, 0, Array(3.0f, 4.0f)), (3L, 0, Array(5.0f, 6.0f)),
+      (4L, 1, Array(10.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Embeddings.centroids(df, "label", "vec_id")
+      .select($"label", $"centroid").as[(Int, Array[Double])].collect().toMap
+    assert(out(0).toSeq == Seq(3.0, 4.0) && out(1).toSeq == Seq(10.0, 0.0))
+    // partition invariance of the double fold: 1 vs 8 partitions, same bits
+    val a = Embeddings.centroids(df.repartition(1), "label", "vec_id")
+      .select($"label", $"norm", $"c0").as[(Int, Double, Double)].collect().toSet
+    val b = Embeddings.centroids(df.repartition(8), "label", "vec_id")
+      .select($"label", $"norm", $"c0").as[(Int, Double, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("termStats: top-k by tf with df, deterministic tie-break") {
     val df = Seq(
       (1L, "the cat and the dog"),
