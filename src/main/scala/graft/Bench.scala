@@ -127,6 +127,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // curation-op timings, reported in their own group so the headline
+    // `total` stays comparable across the r1-r3 run history
+    val curation = Seq(
+      "q_pii", "q_url_normalize", "q_url_dedup", "q_domain_stats",
+      "q_bloom_dedup", "q_temperature_sample", "q_c4_clean",
+      "q_substring_dup", "q_vocab_topk", "q_embed_centroids")
+    val ctimes = curation.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     spark.stop()
 
     val gitSha =
@@ -139,6 +151,7 @@ object Bench {
     val total = wallLow + wallHigh + qtimes.map(_._2).sum
     def f(d: Double) = "%.3f".format(d)
     val qs = qtimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val cs = ctimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     def arr(xs: Double*) = xs.map(f).mkString("[", ",", "]")
     val sw = stageWalls.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val kg =
@@ -155,7 +168,8 @@ object Bench {
         s""""stage_profile_total_sec":${f(profWall)},""" +
         s""""stage_profile_steal_sec":${f(profSteal)}}"""
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,$kg,""" +
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""curation_queries":$cs,$kg,""" +
         s""""sf":"$sfDir","git_sha":"$gitSha","utc":"$utc"}"""
     // stdout line for humans AND a file for machines: sbt wraps stdout in
     // [info] noise, which left the driver's `parsed` field null in r1
