@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# True N-vs-4N-executor scaling measurement (north rule, literal form):
+# the KG chain under spark-submit on local-cluster — N separate executor
+# JVMs with the real inter-process shuffle path. Archives one JSON with
+# both points and the derived scaling efficiency to BENCH/runs/.
+#
+# Usage: scripts/cluster_bench.sh [pages] [samples] [execMemMB]
+# execMemMB is PER EXECUTOR and identical at both points — per-core memory
+# stays constant across the scale-out, the control a real cluster has.
+# (600k pages needs ~12288; the 6144 default covers <=300k.)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+PAGES="${1:-150000}"
+SAMPLES="${2:-2}"
+MEM="${3:-6144}"
+JAR=target/scala-2.13/graphragspark_2.13-0.1.0.jar
+[ -f "$JAR" ] || sbt -batch package
+export SPARK_HOME=/opt/spark
+
+run() { # run <executors> <coresPerExec> <memMB>
+  /opt/spark/bin/spark-submit --class graft.plans.ClusterBench \
+    --master "local-cluster[$1,$2,$3]" --driver-memory 6g \
+    "$JAR" "$PAGES" "$SAMPLES" 2>/dev/null | grep '"master"' | tail -1
+}
+
+echo "[cluster-bench] N=2 executors x 4 cores ..." >&2
+LOW=$(run 2 4 "$MEM")
+echo "[cluster-bench] 4N=8 executors x 4 cores ..." >&2
+HIGH=$(run 8 4 "$MEM")
+
+python3 - "$LOW" "$HIGH" "$PAGES" <<'EOF'
+import json, sys, subprocess, datetime, pathlib
+low, high = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+thr_low, thr_high = low["triples_per_sec"], high["triples_per_sec"]
+eff = (thr_high / thr_low) / (high["total_cores"] / low["total_cores"])
+sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                     capture_output=True, text=True).stdout.strip()
+utc = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+out = {"metric": "cluster_scaling", "pages": int(sys.argv[3]),
+       "low": low, "high": high, "scaling_efficiency": round(eff, 3),
+       "git_sha": sha, "utc": utc}
+line = json.dumps(out)
+print(line)
+p = pathlib.Path("BENCH/runs"); p.mkdir(parents=True, exist_ok=True)
+(p / f"cluster_{utc}-{sha}.json").write_text(line + "\n")
+EOF

@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *     so `k_self` is always 0 in practice; the formula keeps the term.
   *
   * Scale: each hop is 4 bounded shuffles (sum-total agg, two edge joins,
-  * best-move agg) over DataFrames `localCheckpoint`ed per hop to truncate
-  * lineage — the analogue of the reference's per-hop materialized
-  * accumulator state. The graph shrinks geometrically per level.
+  * best-move agg) over DataFrames checkpointed per hop ([[graft.Ckpt.local]])
+  * to truncate lineage — the analogue of the reference's per-hop
+  * materialized accumulator state; set `spark.graft.checkpoint.replicated`
+  * on a real cluster so hop state survives single-executor loss. The graph
+  * shrinks geometrically per level.
   */
 object Louvain {
 
@@ -83,7 +85,7 @@ object Louvain {
     // job per structure per hop, pure scheduling latency in the efficiency
     // decomposition (BENCH/BASELINE.md Amdahl F term)
     var labels = nodes.select($"id", $"id".as("comm"), $"k", $"k_self")
-      .localCheckpoint(true)
+      .transform(graft.Ckpt.local)
     var candidates = nodes.select($"id").persist()
     var nCandidates = candidates.count()
     var hop = 0
@@ -140,7 +142,7 @@ object Louvain {
             .where($"gain" > 0)
         }
 
-      val moversRaw = moves.localCheckpoint(true)
+      val moversRaw = moves.transform(graft.Ckpt.local)
 
       // swap resolution (init :116-135): for adjacent (s, t) both moving into
       // each other's communities, cancel the side with the smaller gain
@@ -165,7 +167,7 @@ object Louvain {
         labels = labels.as("l")
           .join(movers.select($"id", $"new_comm").as("mv"), Seq("id"), "left")
           .select($"id", coalesce($"new_comm", $"l.comm").as("comm"), $"k", $"k_self")
-          .localCheckpoint(true)
+          .transform(graft.Ckpt.local)
 
         // next candidates: neighbors of movers outside the mover's new community
         val prevCandidates = candidates
@@ -361,7 +363,7 @@ object Louvain {
       .where($"src" =!= $"dst") // self-edges never move nodes; reference's
                                 // hop filters them via community inequality
     val edges = directed.groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("w"))
-      .localCheckpoint(true)
+      .transform(graft.Ckpt.local)
     val m = edges.agg(sum($"w")).as[Double].collect()(0)
     val nodes = edges.groupBy($"src".as("id")).agg(sum($"w").as("k"))
       .withColumn("k_self", lit(0.0))
@@ -445,8 +447,8 @@ object Louvain {
       labels = labels.select($"id", $"comm").union(extra)
     }
     var lvl = coarsen(labels, edges0, 1)
-    lvl = lvl.copy(membership = lvl.membership.localCheckpoint(true),
-      linksTo = lvl.linksTo.localCheckpoint(true))
+    lvl = lvl.copy(membership = lvl.membership.transform(graft.Ckpt.local),
+      linksTo = lvl.linksTo.transform(graft.Ckpt.local))
     levels += lvl
     var allLevels = Seq(lvl)
     var prevQ = modularity(entityEdges, allLevels, 1)
@@ -472,8 +474,8 @@ object Louvain {
           prevComms.join(lbl.select($"id"), Seq("id"), "left_anti")
             .select($"id", $"id".as("comm")))
         var next = coarsen(lblAll, e, it)
-        next = next.copy(membership = next.membership.localCheckpoint(true),
-          linksTo = next.linksTo.localCheckpoint(true))
+        next = next.copy(membership = next.membership.transform(graft.Ckpt.local),
+          linksTo = next.linksTo.transform(graft.Ckpt.local))
         allLevels = allLevels :+ next
         levels += next
         val q = modularity(entityEdges, allLevels, it)

@@ -67,7 +67,7 @@ object Summarize {
         .agg(collect_list($"child_desc").as("children"))
         .select($"community_id", lit(lvl.iteration).as("iteration"),
           summarizeUdf($"community_id", $"children").as("description"))
-        .localCheckpoint(true)
+        .transform(graft.Ckpt.local)
       out = if (out == null) described else out.unionByName(described)
       // next level's children are this level's community descriptions
       val nextIdx = lvl.iteration // levels is 1-based; index of next level
