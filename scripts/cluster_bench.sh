@@ -11,15 +11,25 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 PAGES="${1:-150000}"
-SAMPLES="${2:-2}"
+SAMPLES="${2:-3}"
 MEM="${3:-6144}"
 JAR=target/scala-2.13/graphragspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || sbt -batch package
 export SPARK_HOME=/opt/spark
 
 run() { # run <executors> <coresPerExec> <memMB>
+  # NB: in local-cluster[N,C,M] the M is the WORKER's capacity; the executor
+  # itself still launches at spark.executor.memory (default 1g) — set it
+  # explicitly or every run silently gets 1 GB heaps.
+  # ActiveProcessorCount pins each executor JVM's view of the machine to its
+  # core grant: without it every executor sizes GC/JIT/netty pools for ALL
+  # host CPUs, and N co-located JVMs thrash (measured 39.5s -> 21.4s at 8
+  # executors). A real cluster gets this normalization from physical
+  # machine boundaries; this flag is what makes one box emulate that.
   /opt/spark/bin/spark-submit --class graft.plans.ClusterBench \
     --master "local-cluster[$1,$2,$3]" --driver-memory 6g \
+    --conf "spark.executor.memory=${3}m" \
+    --conf "spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=$2" \
     "$JAR" "$PAGES" "$SAMPLES" 2>/dev/null | grep '"master"' | tail -1
 }
 

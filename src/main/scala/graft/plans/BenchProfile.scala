@@ -66,8 +66,12 @@ object BenchProfile {
   def main(args: Array[String]): Unit = {
     val pages = args.headOption.map(_.toInt).getOrElse(12000)
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // under spark-submit (spark.master already set, e.g. local-cluster for a
+    // per-stage profile of the REAL inter-executor shuffle path) inherit the
+    // submitted master; standalone sbt runs default to local[cores]
+    val builder = SparkSession.builder()
+    if (!sys.props.contains("spark.master")) builder.master(s"local[$cores]")
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .config("spark.sql.adaptive.enabled", "true")

@@ -53,8 +53,12 @@ object ClusterBench {
     spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
 
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
-    // warmup (JIT + codegen caches) on a small corpus
-    SparkEntry.KgStages(spark, cfg.copy(nPages = 200)).resolvedTriples.count()
+    // warmup (JIT + codegen caches): with N separate executor JVMs each one
+    // must JIT the whole chain independently — a toy warmup leaves the first
+    // measured sample 3-8x slow. One-tenth of the real corpus exercises the
+    // same codegen + AQE paths at material task sizes.
+    SparkEntry.KgStages(spark, cfg.copy(nPages = math.max(2000, pages / 10)))
+      .resolvedTriples.count()
 
     var triples = 0L
     val runs = (1 to samples).map { _ =>
