@@ -657,6 +657,21 @@ object SparkEntry {
         .select(col("entity_id").as("doc_id"), col("component_id").as("cluster_id"))
     }),
 
+    // survivor selection: one doc per duplicate cluster survives — argmax
+    // token count, ties to the lexicographically smallest id; unclustered
+    // docs pass through. Exact SQL oracle (recursive-CTE closure + window).
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, w = 3, threshold = 0.3)
+        .localCheckpoint(true)
+      val ids = pairs.select(col("a").as("entity_id"))
+        .unionByName(pairs.select(col("b").as("entity_id"))).distinct()
+      val clusters = Resolution.connectedComponents(ids,
+          pairs.select(col("a").as("src"), col("b").as("dst")))
+        .select(col("entity_id").as("doc_id"), col("component_id").as("cluster_id"))
+      Dedup.canonicalDocs(docs, clusters, TextStats.tokenCountCol(col("text")))
+    }),
+
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fp64"))),
@@ -1632,6 +1647,52 @@ object SparkEntry {
           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         SELECT src AS doc_id, least(min(dst), src) AS cluster_id
         FROM reach GROUP BY src""",
+
+    // survivor pick: same recursive closure as q_dedup_clusters, then a
+    // per-cluster window argmax on the exact token count (q_token_count
+    // form), ties to the bytewise-smallest id; loners kept with NULL cluster
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, chr(1))]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2])) END AS s
+          FROM toks),
+        pairs AS (
+          SELECT a, b FROM (
+            SELECT CAST(x.doc_id AS VARCHAR) AS a, CAST(y.doc_id AS VARCHAR) AS b,
+              round(len(list_intersect(x.s, y.s))::DOUBLE
+                / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+            FROM sh x JOIN sh y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
+            WHERE len(x.s) > 0 AND len(y.s) > 0)
+          WHERE jaccard >= 0.3),
+        edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clusters AS (
+          SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+          FROM reach GROUP BY src),
+        quality AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS q
+          FROM documents),
+        decided AS (
+          SELECT c.doc_id, c.cluster_id,
+            (row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.q DESC, c.doc_id ASC)) = 1 AS kept
+          FROM clusters c JOIN quality q USING (doc_id)),
+        loners AS (
+          SELECT q.doc_id, NULL::VARCHAR AS cluster_id, true AS kept
+          FROM quality q WHERE q.doc_id NOT IN (SELECT doc_id FROM clusters))
+        SELECT doc_id, cluster_id, kept FROM decided
+        UNION ALL SELECT doc_id, cluster_id, kept FROM loners""",
 
     // FNV-1a 64-bit over the case/whitespace-normalized char stream,
     // recomputed exactly in DuckDB via a HUGEINT fold mod 2^64.

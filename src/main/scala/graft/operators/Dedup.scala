@@ -503,4 +503,37 @@ object Dedup {
     batch.withColumn("digest", md5(col(textCol).cast("binary")))
       .where(!mightContain(col("digest")))
   }
+
+  // ---------------------------------------------- survivor (canonical) pick
+
+  /** Survivor selection over duplicate clusters — the step that turns a
+    * dedup DETECTION into a dedup DECISION (the CCNet/RefinedWeb "keep the
+    * best copy" pass): within each cluster exactly one document survives,
+    * the argmax of `quality` with ties broken by the lexicographically
+    * smallest id; documents in no cluster survive untouched.
+    *
+    * `clusters`: (idCol, cluster_id) as produced by the connected-components
+    * assignment (q_dedup_clusters). Returns the full decision table
+    * (idCol, cluster_id — null for unclustered docs, kept) so the drop set,
+    * keep set, and attribution are all one filter away.
+    *
+    * Scale: one shuffle on cluster_id for the per-cluster window (cluster
+    * sizes are bounded by the upstream pair guards — maxBucket/maxDocFreq —
+    * so no window partition is hot), one left-anti join for the loners
+    * (broadcastable: the cluster table is the small side, duplicates are a
+    * few percent of a web corpus).
+    */
+  def canonicalDocs(docs: DataFrame, clusters: DataFrame, quality: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val q = docs.select(col(idCol).cast("string").as(idCol), quality.as("_q"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_q").desc, col(idCol).asc)
+    val decided = clusters.join(q, idCol)
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("kept"))
+    val loners = q.join(clusters, Seq(idCol), "left_anti")
+      .select(col(idCol), lit(null).cast("string").as("cluster_id"),
+        lit(true).as("kept"))
+    decided.unionByName(loners)
+  }
 }

@@ -231,4 +231,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(dropped.size <= 5 + 0.05 * exactNew.size,
       s"bloom dropped ${dropped.size} of ${exactNew.size} genuinely-new docs — fpp far above 1%")
   }
+
+  // ------------------------------------------------------ survivor selection
+
+  test("canonicalDocs keeps argmax quality per cluster, ties to min id, loners pass") {
+    val d = docs(
+      1L -> "short copy",           // cluster c1, 2 tokens
+      2L -> "longer copy of it",    // cluster c1, 4 tokens -> survivor
+      3L -> "tie one two",          // cluster c2, 3 tokens, id 3 < 4 -> survivor
+      4L -> "tie uno dos",          // cluster c2, 3 tokens
+      5L -> "independent document") // no cluster -> kept
+    val clusters = Seq(("1", "c1"), ("2", "c1"), ("3", "c2"), ("4", "c2"))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalDocs(d, clusters, TextStats.tokenCountCol($"text"))
+      .as[(String, Option[String], Boolean)].collect().toSet
+    assert(out == Set(
+      ("1", Some("c1"), false), ("2", Some("c1"), true),
+      ("3", Some("c2"), true), ("4", Some("c2"), false),
+      ("5", None, true)))
+  }
+
+  test("canonicalDocs survivor set is partition-count invariant") {
+    val d = docs((1L to 40L).map(i =>
+      i -> (s"cluster${i % 5} " + ("w " * (i % 7).toInt).trim)): _*)
+    val clusters = (1L to 40L).map(i => (i.toString, s"c${i % 5}"))
+      .toDF("doc_id", "cluster_id")
+    def run(parts: Int) =
+      Dedup.canonicalDocs(d.repartition(parts), clusters.repartition(parts),
+          TextStats.tokenCountCol($"text"))
+        .where($"kept").select($"doc_id")
+        .as[String].collect().toSet
+    assert(run(1) == run(13))
+    assert(run(13).size == 5)
+  }
 }
