@@ -397,6 +397,21 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // BM25 lexical top-10 for three fixed queries. The ranked ids are
+    // hash-compared against an exact DuckDB replica; the ranking orders by
+    // score rounded to 1e-9 (then doc_id) so cross-engine ulp noise in
+    // ln/avg/sum cannot flip a rank — scores themselves stay out of the
+    // gated output (floats never survive an exact cross-engine compare).
+    "q_bm25" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        "q1" -> "customer", "q1" -> "join",
+        "q2" -> "vector", "q2" -> "stream", "q2" -> "window",
+        "q3" -> "spark").toDF("query_id", "term")
+      Retrieval.bm25TopK(t(s, d, "documents"), queries, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    }),
+
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.tokenCountCol(col("text")).as("n_tokens"))),
@@ -1287,6 +1302,48 @@ object SparkEntry {
            + CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END)::BIGINT AS hits
           FROM documents)
         WHERE hits > 0 ORDER BY hits DESC, doc_id LIMIT 20""",
+
+    // exact BM25 replica (Lucene idf form, k1=1.2 b=0.75): same tokenizer
+    // as q_token_count, same 1e-9 score rounding before the rank order
+    "q_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+            ('q1','customer'), ('q1','join'),
+            ('q2','vector'), ('q2','stream'), ('q2','window'),
+            ('q3','spark')),
+        dl AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS dl
+          FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+          WHERE term IN (SELECT DISTINCT term FROM q)
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+            sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+          FROM tf
+          JOIN dfreq d USING (term)
+          JOIN q USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, rank::INTEGER AS rank, doc_id
+        FROM ranked WHERE rank <= 10""",
 
     "q_token_count" ->
       """SELECT doc_id,

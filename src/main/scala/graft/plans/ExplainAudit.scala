@@ -158,7 +158,20 @@ object ExplainAudit {
         // without joining the history table
         Seq("Filter"),
         "incremental dedup never reshuffles or re-joins the history",
-        mustNotContain = Seq("Exchange hashpartitioning", "SortMergeJoin", "BroadcastHashJoin"))
+        mustNotContain = Seq("Exchange hashpartitioning", "SortMergeJoin", "BroadcastHashJoin")),
+
+      Check("bm25 joins stay broadcast; corpus shuffles only on (doc,term)",
+        s => {
+          import s.implicits._
+          val q = Seq(("q1", "spark"), ("q1", "merge")).toDF("query_id", "term")
+          graft.retrieval.Retrieval.bm25TopK(t("documents"), q, k = 10)
+        },
+        // the only SortMergeJoin-eligible join is tf⋈dl (both corpus-sized);
+        // df/query/stats joins must all be broadcast, and the token explode
+        // must reach the tf aggregate pre-filtered by the broadcast term set
+        Seq("BroadcastHashJoin", "partial_count"),
+        "query-term/df/stats fan-out never shuffles the corpus",
+        mustNotContain = Seq("CartesianProduct"))
     )
 
     var failures = 0

@@ -472,4 +472,66 @@ object Retrieval {
     val w = Window.partitionBy(col(queryCol)).orderBy(col(scoreCol).desc, col(tieCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** BM25 lexical top-k over a document corpus (Robertson/Spärck Jones;
+    * the Lucene `ln(1 + (N − df + ½)/(df + ½))` idf form, always
+    * positive). `queries` is (query_id, term), one row per query term;
+    * returns (query_id, rank, doc_id, score), rank 1..k.
+    *
+    * Plan, sized for a web corpus where |query terms| ≪ |vocabulary|:
+    * the distinct query-term set is BROADCAST and tokens are filtered
+    * against it before any shuffle, so the tf aggregation (the only
+    * corpus-sized wide op) shuffles only matching (doc, term) rows; df,
+    * the corpus stats (one row), and the per-term query fan-out are all
+    * broadcast joins; doc length is a map-side expression on the original
+    * docs, never re-aggregated from tokens. Per-query ranking is a salted
+    * TWO-PHASE top-k — rank within (query, salt-of-64) partitions first,
+    * then rank the ≤ 64·k survivors per query — so one popular query
+    * never pins a single window partition to one task at corpus scale.
+    *
+    * Ordering is by score ROUNDED to 9 decimals (ties then by doc_id):
+    * BM25 sums floating per-term weights, and summation order is
+    * engine/partitioning-dependent — exact duplicate documents can land
+    * 1-ulp apart in one engine and exactly equal in another, flipping
+    * ranks. 1e-9 collapses ulp noise while preserving every real score
+    * distinction, making the ranking bit-stable across partitionings AND
+    * exactly reproducible by the DuckDB oracle (q_bm25).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.operators.TextStats
+    val dl = docs.select(col("doc_id").cast("string").as("doc_id"),
+      TextStats.tokenCountCol(col("text")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val toks = docs.select(col("doc_id").cast("string").as("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val qterms = queries.select(col("term")).distinct()
+    val tf = toks.join(broadcast(qterms), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(queries), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + (lit(1 - b) + col("dl") / col("avgdl") * b) * k1))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .withColumn("rscore", round(col("score"), 9))
+    val pre = Window.partitionBy(col("query_id"), crc32(col("doc_id")) % 64)
+      .orderBy(col("rscore").desc, col("doc_id").asc)
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("rscore").desc, col("doc_id").asc)
+    scored
+      .withColumn("prerank", row_number().over(pre)).where(col("prerank") <= k)
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 }

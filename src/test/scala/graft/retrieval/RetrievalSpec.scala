@@ -205,4 +205,38 @@ class RetrievalSpec extends AnyFunSuite {
       ("e1", "Concept", "z desc; a desc"),
       ("c1", "Community", "community desc")))
   }
+
+  test("bm25TopK matches the hand-computed Lucene-idf formula") {
+    // N=3, avgdl=3; idf(apple)=ln(1+2.5/1.5), idf(cherry)=ln(1+1.5/2.5)
+    val docs = Seq(
+      ("d1", "apple banana apple"),
+      ("d2", "banana cherry"),
+      ("d3", "cherry cherry cherry durian")).toDF("doc_id", "text")
+    val q = Seq(("q", "apple"), ("q", "cherry")).toDF("query_id", "term")
+    val out = Retrieval.bm25TopK(docs, q, k = 3)
+      .orderBy($"rank")
+      .as[(String, Int, String, Double)].collect()
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((1, "d1"), (2, "d3"), (3, "d2")))
+    val lnApple = math.log(1 + 2.5 / 1.5)
+    val lnCherry = math.log(1 + 1.5 / 2.5)
+    val expect = Map(
+      "d1" -> lnApple * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3)),
+      "d2" -> lnCherry * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3)),
+      "d3" -> lnCherry * (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * 4.0 / 3)))
+    out.foreach(r => assert(math.abs(r._4 - expect(r._3)) < 1e-9,
+      s"${r._3}: got ${r._4}, want ${expect(r._3)}"))
+  }
+
+  test("bm25TopK ranking is partition-count invariant (salted two-phase top-k)") {
+    val docs = (1 to 300).map { i =>
+      val words = (0 until (i % 17) + 2).map(j => s"w${(i * 7 + j * 3) % 23}")
+      (s"d$i", words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val q = Seq(("qa", "w1"), ("qa", "w5"), ("qb", "w10")).toDF("query_id", "term")
+    def run(parts: Int) = Retrieval.bm25TopK(docs.repartition(parts), q, k = 10)
+      .select($"query_id", $"rank", $"doc_id")
+      .as[(String, Int, String)].collect().toSet
+    assert(run(1) == run(13))
+    assert(run(1).nonEmpty)
+  }
 }
