@@ -412,6 +412,25 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"))
     }),
 
+    // hybrid retrieval: RRF fusion of the BM25 lexical top-10 and the
+    // brute-force cosine top-10 (embeddings vec_id 0..2 as the query
+    // vectors for q1..q3, ids shared with documents). Exact DuckDB oracle.
+    "q_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        "q1" -> "customer", "q1" -> "join",
+        "q2" -> "vector", "q2" -> "stream", "q2" -> "window",
+        "q3" -> "spark").toDF("query_id", "term")
+      val lex = Retrieval.bm25TopK(t(s, d, "documents"), queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, d, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 10)
+        .select(concat(lit("q"), col("query_id") + 1).as("query_id"),
+          col("neighbor_id").cast("string").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex.unionByName(vec), k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    }),
+
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.tokenCountCol(col("text")).as("n_tokens"))),
@@ -1344,6 +1363,73 @@ object SparkEntry {
           FROM scored)
         SELECT query_id, rank::INTEGER AS rank, doc_id
         FROM ranked WHERE rank <= 10""",
+
+    // RRF replica: the q_bm25 pipeline verbatim, the q_ann_bruteforce
+    // cosine verbatim (numeric neighbor tie-break, matching
+    // bruteForceTopK), fused by sum(1/(60+rank)) with the same 1e-9
+    // rounding before the final rank order
+    "q_rrf_fusion" ->
+      """WITH q(query_id, term) AS (VALUES
+            ('q1','customer'), ('q1','join'),
+            ('q2','vector'), ('q2','stream'), ('q2','window'),
+            ('q3','spark')),
+        dl AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE AS dl
+          FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+          WHERE term IN (SELECT DISTINCT term FROM q)
+          GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        bscored AS (
+          SELECT q.query_id, tf.doc_id,
+            sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+          FROM tf
+          JOIN dfreq d USING (term)
+          JOIN q USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+            FROM bscored) WHERE rank <= 10),
+        vscored AS (
+          SELECT 'q' || CAST(qe.vec_id + 1 AS VARCHAR) AS query_id,
+            ce.vec_id AS neighbor_id,
+            list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))) AS cos
+          FROM embeddings qe, embeddings ce WHERE qe.vec_id < 3),
+        vec AS (
+          SELECT query_id, CAST(neighbor_id AS VARCHAR) AS doc_id, rank FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+            FROM vscored) WHERE rank <= 10),
+        unioned AS (
+          SELECT query_id, doc_id, rank FROM lex
+          UNION ALL SELECT query_id, doc_id, rank FROM vec),
+        fused AS (
+          SELECT query_id, doc_id, sum(1.0 / (60.0 + rank)) AS rrf
+          FROM unioned GROUP BY query_id, doc_id)
+        SELECT query_id, rank::INTEGER AS rank, doc_id FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(rrf, 9) DESC, doc_id ASC) AS rank
+          FROM fused) WHERE rank <= 10""",
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -497,6 +497,39 @@ object Retrieval {
     * distinction, making the ranking bit-stable across partitionings AND
     * exactly reproducible by the DuckDB oracle (q_bm25).
     */
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of several
+    * per-query rankings — the standard way to combine BM25 and
+    * vector-similarity lists into one hybrid retrieval result.
+    * `rankings` is (query_id, doc_id, rank[, …]) — the union of the input
+    * lists, one row per (list, query, doc); a doc appearing in several
+    * lists sums its 1/(c + rank) contributions. Returns
+    * (query_id, rank, doc_id, rrf), rank 1..k.
+    *
+    * Scale: one (query_id, doc_id) aggregation over rows that are ALREADY
+    * top-k-bounded per source list (≤ sources·k rows per query), then the
+    * same salted two-phase ranking as [[bm25TopK]]. Ordering uses the
+    * 1e-9-rounded fused score (ties by doc_id): 1/(c+rank) divisions are
+    * correctly-rounded IEEE and thus engine-identical, but their SUM is
+    * order-dependent — rounding makes the ranking partitioning- and
+    * engine-stable (q_rrf_fusion replicates it exactly in DuckDB).
+    */
+  def rrfFuse(rankings: DataFrame, k: Int = 10, c: Double = 60.0): DataFrame = {
+    val fused = rankings
+      .select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (col("rank").cast("double") + c)).as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf"))
+      .withColumn("rscore", round(col("rrf"), 9))
+    val pre = Window.partitionBy(col("query_id"), crc32(col("doc_id")) % 64)
+      .orderBy(col("rscore").desc, col("doc_id").asc)
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("rscore").desc, col("doc_id").asc)
+    fused
+      .withColumn("prerank", row_number().over(pre)).where(col("prerank") <= k)
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import graft.operators.TextStats

@@ -227,6 +227,18 @@ class RetrievalSpec extends AnyFunSuite {
       s"${r._3}: got ${r._4}, want ${expect(r._3)}"))
   }
 
+  test("rrfFuse sums 1/(c+rank) across lists, ranks by fused score then id") {
+    val rankings = Seq(
+      ("q", "d1", 1), ("q", "d2", 2),   // lexical list
+      ("q", "d2", 1), ("q", "d3", 2))   // vector list
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(rankings, k = 10).orderBy($"rank")
+      .as[(String, Int, String, Double)].collect()
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((1, "d2"), (2, "d1"), (3, "d3")))
+    val expect = Map("d2" -> (1.0 / 61 + 1.0 / 62), "d1" -> 1.0 / 61, "d3" -> 1.0 / 62)
+    out.foreach(r => assert(math.abs(r._4 - expect(r._3)) < 1e-12))
+  }
+
   test("bm25TopK ranking is partition-count invariant (salted two-phase top-k)") {
     val docs = (1 to 300).map { i =>
       val words = (0 until (i % 17) + 2).map(j => s"w${(i * 7 + j * 3) % 23}")
