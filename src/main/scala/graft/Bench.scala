@@ -132,7 +132,8 @@ object Bench {
     val curation = Seq(
       "q_pii", "q_url_normalize", "q_url_dedup", "q_domain_stats",
       "q_bloom_dedup", "q_temperature_sample", "q_c4_clean",
-      "q_substring_dup", "q_vocab_topk", "q_embed_centroids")
+      "q_substring_dup", "q_vocab_topk", "q_embed_centroids",
+      "q_dedup_canonical", "q_bm25", "q_rrf_fusion")
     val ctimes = curation.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
