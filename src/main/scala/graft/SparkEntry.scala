@@ -495,6 +495,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // CCNet-style LM perplexity bucketing: docs with doc_id % 5 == 0 play
+    // the trusted reference slice (CCNet's Wikipedia), a per-language add-k
+    // bigram LM scores every doc, and each language splits into
+    // head/middle/tail terciles. The bucket boundary orders by the 1e-9-
+    // rounded score (ties by doc_id) so cross-engine ulp noise in ln/sum
+    // cannot flip a bucket; the float score stays out of the gated output.
+    "q_lm_ppl_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Curation.lmPerplexityBuckets(
+          docs, docs.where(pmod(col("doc_id"), lit(5)) === 0), nBuckets = 3)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl_bucket"))
+    }),
+
     // per-language length deciles (curriculum/packing buckets)
     "q_quantile_bins" -> ((s, d) =>
       operators.Curation.quantileBins(
@@ -1573,6 +1586,46 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // LM perplexity buckets: full model replica — same tokenization, same
+    // bigram/head/vocab counts over the doc_id%5 train slice, same add-k
+    // formula, same 1e-9 score rounding, same per-language ntile. Integer
+    // counts and correctly-rounded +,×,/ are engine-identical; ln and the
+    // per-doc sum are not, which is exactly what the shared round(…, 9)
+    // before the bucket boundary absorbs.
+    "q_lm_ppl_buckets" ->
+      """WITH toks AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        tgrams AS (
+          SELECT lang, unnest(list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i+1])) AS gram
+          FROM toks WHERE doc_id % 5 = 0 AND len(tk) >= 2),
+        c2 AS (SELECT lang, gram, count(*)::DOUBLE AS c2 FROM tgrams GROUP BY lang, gram),
+        c1 AS (SELECT lang, split_part(gram, ' ', 1) AS w1, sum(c2) AS c1
+               FROM c2 GROUP BY lang, split_part(gram, ' ', 1)),
+        v AS (SELECT lang, (count(DISTINCT w) + 1)::DOUBLE AS v
+              FROM (SELECT lang, unnest(tk) AS w FROM toks WHERE doc_id % 5 = 0)
+              GROUP BY lang),
+        eg AS (
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
+            i -> tk[i] || ' ' || tk[i+1])) AS gram
+          FROM toks WHERE len(tk) >= 2),
+        scored AS (
+          SELECT eg.doc_id, eg.lang,
+            count(*) AS n_bigrams,
+            round(-sum(ln((coalesce(c2.c2, 0.0) + 0.5) /
+                          (coalesce(c1.c1, 0.0) + 0.5 * v.v))) / count(*), 9) AS rscore
+          FROM eg
+          LEFT JOIN c2 ON eg.lang = c2.lang AND eg.gram = c2.gram
+          LEFT JOIN c1 ON eg.lang = c1.lang AND split_part(eg.gram, ' ', 1) = c1.w1
+          JOIN v ON eg.lang = v.lang
+          GROUP BY eg.doc_id, eg.lang)
+        SELECT doc_id, lang, n_bigrams,
+          CAST(ntile(3) OVER (PARTITION BY lang ORDER BY rscore, doc_id) AS BIGINT)
+            AS ppl_bucket
+        FROM scored""",
 
     // temperature rates: Σ√n folded in sorted-lang order (list_reduce over
     // an ORDER BY list) to match the engine's deterministic driver fold;

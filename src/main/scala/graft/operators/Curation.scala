@@ -228,6 +228,81 @@ object Curation {
       .where(hashBucketCol(col(keyCol), 1000000) < col("rate_ppm"))
       .drop("rate_ppm")
 
+  /** CCNet-style language-model quality bucketing (Wenzek et al. 2020 §4.3
+    * — the perplexity filter every web-scale pretraining corpus runs): train
+    * a per-stratum (per-language) bigram LM on a trusted reference slice,
+    * score every document by its per-token negative log-likelihood under
+    * that LM, and split each stratum into `nBuckets` quantile buckets
+    * (bucket 1 = "head" / most-fluent, last = "tail"). CCNet uses KenLM
+    * 5-grams over Wikipedia; the add-k-smoothed bigram form here keeps the
+    * semantics exactly replicable in the SQL oracle while preserving the
+    * operator shape (train → broadcastable model → map-side score → bucket).
+    *
+    * Model: p(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V) with V = distinct
+    * train tokens + 1 (one unit of open-vocabulary mass — unseen heads and
+    * continuations fall back to k/(k·V) = 1/V). Documents with < 2 tokens
+    * have no bigrams and are excluded (CCNet drops them pre-scoring).
+    *
+    * Float-parity stance (the repo-wide ranking rule): +, ×, / are
+    * correctly-rounded IEEE and engine-identical, but `ln` is not, and the
+    * per-doc sum of log-probs is partition-order-dependent — so the bucket
+    * boundary orders by the score ROUNDED to 1e-9 (ties by id), which
+    * collapses ulp noise, and the raw float stays out of any gated output.
+    *
+    * Scale shape: the LM tables are O(train corpus) — the trusted slice is
+    * bounded (CCNet's Wikipedia is ~GBs against a 100 TB crawl), so the
+    * gram joins broadcast under AQE; the corpus side is one explode + two
+    * bounded-key joins + one per-doc partial aggregation. The per-stratum
+    * ntile window parallelizes across languages; for one gigantic stratum
+    * swap the exact ntile for approx_percentile boundaries (same tradeoff
+    * documented on [[quantileBins]]).
+    */
+  def lmPerplexityBuckets(
+      docs: DataFrame,
+      train: DataFrame,
+      idCol: String = "doc_id",
+      strataCol: String = "lang",
+      textCol: String = "text",
+      smoothK: Double = 0.5,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    def toks(df: DataFrame) = df.select(col(idCol), col(strataCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= lit("")).as("tk"))
+    def grams(df: DataFrame) = df.where(size(col("tk")) >= 2)
+      .select(col(idCol), col(strataCol),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat(element_at(col("tk"), i), lit(" "),
+            element_at(col("tk"), i + 1)))).as("gram"))
+    val trainToks = toks(train)
+    // V per stratum: distinct train tokens + 1 (open-vocab mass)
+    val vocabSize = trainToks
+      .select(col(strataCol), explode(col("tk")).as("w"))
+      .groupBy(col(strataCol))
+      .agg((countDistinct(col("w")) + 1).cast("double").as("v"))
+    val c2 = grams(trainToks)
+      .groupBy(col(strataCol), col("gram"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    // head counts fold from c2 (already aggregated — no second corpus pass)
+    val c1 = c2
+      .groupBy(col(strataCol), substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    grams(toks(docs))
+      .join(c2, Seq(strataCol, "gram"), "left")
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(c1, Seq(strataCol, "w1"), "left")
+      .join(broadcast(vocabSize), Seq(strataCol))
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0.0)) + smoothK) /
+          (coalesce(col("c1"), lit(0.0)) + lit(smoothK) * col("v"))))
+      .groupBy(col(idCol), col(strataCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("nll_sum"))
+      .withColumn("rscore", round(-col("nll_sum") / col("n_bigrams"), 9))
+      .withColumn("ppl_bucket", ntile(nBuckets).over(
+        Window.partitionBy(col(strataCol)).orderBy(col("rscore"), col(idCol))))
+      .select(col(idCol), col(strataCol), col("n_bigrams"), col("rscore"),
+        col("ppl_bucket").cast("long").as("ppl_bucket"))
+  }
+
   /** Contiguous sequence packing: assign each document to the fixed-budget
     * pack containing its start offset in the stratum's concatenated token
     * stream (pack_id = floor(prefix_tokens / budget)). This is the

@@ -153,4 +153,29 @@ class CurationSamplingSpec extends AnyFunSuite {
     val all4 = sampled.where($"stratum" === "c").count()
     assert(all4 == 4L) // rate 1e6 keeps everything
   }
+
+  test("lmPerplexityBuckets: fluent docs head, gibberish tail, partition-invariant") {
+    val fluent = "the quick brown fox jumps over the lazy dog again"
+    val mixed = "the quick brown fox visits strange glowing portals now maybe"
+    // 24 scored docs → ntile(3) buckets of exactly 8: the three fluency
+    // tiers land one-per-bucket iff the score ordering is right
+    val corpus =
+      (0L until 8L).map(i => (i, "en", fluent)) ++             // train = fluent eval
+        (8L until 16L).map(i => (i, "en", mixed)) ++           // prefix seen
+        (16L until 24L).map(i =>                               // all unseen
+          (i, "en", s"zxq$i wvu$i tsr$i qpo$i nml$i kji$i hgf$i edc$i")) :+
+        ((99L, "en", "solo")) // single token: no bigrams, excluded
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val out = Curation.lmPerplexityBuckets(df, df.where($"doc_id" < 8))
+      .select($"doc_id", $"ppl_bucket").as[(Long, Long)].collect().toMap
+    assert(!out.contains(99L), "sub-bigram docs are excluded")
+    assert(out.size == 24)
+    (0L until 8L).foreach(i => assert(out(i) == 1L, s"fluent doc $i in head"))
+    (8L until 16L).foreach(i => assert(out(i) == 2L, s"mixed doc $i in middle"))
+    (16L until 24L).foreach(i => assert(out(i) == 3L, s"gibberish doc $i in tail"))
+    // bucket assignment survives repartitioning (the rounded-score boundary)
+    val re = Curation.lmPerplexityBuckets(df.repartition(7), df.where($"doc_id" < 8))
+      .select($"doc_id", $"ppl_bucket").as[(Long, Long)].collect().toMap
+    assert(re == out)
+  }
 }
