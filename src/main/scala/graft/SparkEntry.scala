@@ -58,6 +58,19 @@ object SparkEntry {
           pmod(d, lit(100)).cast("string"), lit(" logged."))).otherwise(lit("")))
   }
 
+  /** Documents text with deterministically planted accents, digits, and
+    * whitespace variety (the sfDir corpus is pure ASCII): precomposed
+    * Latin-1 accents, a decomposed combining-acute sequence (e + U+0301 --
+    * NFC and NFD inputs must normalize identically), the doc_id digits, a tab
+    * and a double space. Pure string arithmetic on doc_id so the DuckDB
+    * oracle builds the byte-identical input.
+    */
+  private def accentPlantedText: Column =
+    concat(
+      col("text"),
+      lit(" Caf\u00e9 N\u00daMERO "), col("doc_id").cast("string"),
+      lit(" R\u00c9SUM\u00c9S na\u00efve fa\u00e7ade \u00dcber 42, e\u0301clair.\tEnd  line"))
+
   /** Multi-line planted input for the C4 cleaning rules (the sfDir docs are
     * single-line): line 1 = the doc text with a terminal dot, then lines
     * exercising every rule — short lines (%2), javascript boilerplate (%3),
@@ -532,6 +545,15 @@ object SparkEntry {
           col("n_phones").cast("long").as("n_phones"),
           col("n_ips").cast("long").as("n_ips"),
           col("text_redacted"))),
+
+    // CCNet text normalization over planted accents/digits/whitespace
+    // (precomposed AND decomposed unicode forms): the FULL normalized text
+    // is hash-compared against DuckDB's strip_accents(nfc_normalize(..))
+    // + lower + digit/whitespace regex replica
+    "q_ccnet_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), accentPlantedText.as("text"))
+        .select(col("doc_id"),
+          operators.WebCuration.ccnetNormalizeCol(col("text")).as("text_norm"))),
 
     // URL canonicalization: scheme forcing, host lowering, www-strip,
     // trailing-slash strip, tracking-param drop + param sort — full-table
@@ -1717,6 +1739,24 @@ object SparkEntry {
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
             '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g'),
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+        FROM planted""",
+
+    // CCNet normalization: byte-identical planted input (chr(769) is the
+    // combining acute — the decomposed form the NFC pass must fold), then
+    // strip_accents(nfc_normalize(..)) + lower + digit/whitespace regexes —
+    // the probe-verified engine-identical replica of the Java
+    // NFD-strip-marks path
+    "q_ccnet_normalize" ->
+      """WITH planted AS (
+          SELECT doc_id,
+            text || ' Café NÚMERO ' || CAST(doc_id AS VARCHAR) ||
+            ' RÉSUMÉS naïve façade Über 42, e' || chr(769) || 'clair.' ||
+            chr(9) || 'End  line' AS t
+          FROM documents)
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(
+            lower(strip_accents(nfc_normalize(t))),
+            '[0-9]', '0', 'g'), '\s+', ' ', 'g')) AS text_norm
         FROM planted""",
 
     "q_url_normalize" ->

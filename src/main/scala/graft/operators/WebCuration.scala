@@ -59,6 +59,42 @@ object WebCuration {
         Ipv4Re, "<IP>").as("text_redacted"))
   }
 
+  // ----------------------------------------------------- text normalization
+
+  /** CCNet-style text normalization (Wenzek et al. 2020 §4.1 — the pass run
+    * before content hashing so trivially-variant re-crawls dedup together):
+    * Unicode NFD decomposition with combining marks stripped (accent
+    * removal), lowercase, every ASCII digit replaced by `0`, whitespace runs
+    * collapsed to single spaces, trimmed. CCNet's unicode-punctuation
+    * replacement is deliberately left out: its mapping table is
+    * KenLM-specific and has no cross-engine reference to oracle against,
+    * while the four rules here are exactly reproducible in SQL
+    * (`strip_accents(nfc_normalize(…))` + `lower` + two regexes), so the
+    * q_ccnet_normalize gate hash-compares the FULL normalized text.
+    *
+    * Per-row JVM function (java.text.Normalizer has no Catalyst
+    * counterpart) — the same documented tradeoff as
+    * [[TextStats.fingerprint64]]; everything around it stays narrow, so at
+    * 100 TB this is still a map-only scan-speed pass.
+    */
+  val ccnetNormalize: String => String = { s =>
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    nfd.replaceAll("\\p{Mn}+", "")
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[0-9]", "0")
+      .replaceAll("\\s+", " ")
+      .trim
+  }
+
+  /** [[ccnetNormalize]] as a column. Idempotent: normalize ∘ normalize =
+    * normalize (asserted in WebCurationSpec), so re-running a resumed
+    * pipeline stage over already-normalized text is safe.
+    */
+  def ccnetNormalizeCol(text: Column): Column = {
+    val u = udf(ccnetNormalize)
+    u(text)
+  }
+
   // ------------------------------------------------------------------- URL
 
   /** Lowercased host of a URL (text between `://` and the first `/` or `?`),

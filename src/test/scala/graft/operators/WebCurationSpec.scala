@@ -72,4 +72,15 @@ class WebCurationSpec extends AnyFunSuite {
     assert(m("site.org") == ((3L, 3L, 6L))) // hosts: news.site.org, blog.site.org, site.org
     assert(m("other.net") == ((1L, 1L, 2L)))
   }
+
+  test("ccnetNormalize: accents (both unicode forms), case, digits, whitespace; idempotent") {
+    val f = WebCuration.ccnetNormalize
+    // precomposed é and decomposed e+́ normalize identically
+    assert(f("Caf\u00e9") == "cafe" && f("Cafe\u0301") == "cafe")
+    assert(f("N\u00daMERO fa\u00e7ade \u00dcber na\u00efve") == "numero facade uber naive")
+    assert(f("Page 42 of 100") == "page 00 of 000")
+    assert(f("  a\t b\n\nc  ") == "a b c")
+    val samples = Seq("Caf\u00e9 42", "  Mixed\tCase 7 ", "plain ascii text")
+    samples.foreach(s => assert(f(f(s)) == f(s), s"idempotence on '$s'"))
+  }
 }
