@@ -570,6 +570,15 @@ object SparkEntry {
       operators.WebCuration.urlDedupGroups(
         t(s, d, "documents").select(col("doc_id"), plantedUrlCol.as("url")))),
 
+    // per-domain quota: keep the 10 longest docs per registered domain
+    // (salted two-phase top-k — one hot domain never pins a single task);
+    // exact integer ordering, verbatim SQL window replica
+    "q_domain_quota" -> ((s, d) =>
+      operators.WebCuration.domainQuota(
+          t(s, d, "documents").select(col("doc_id"), plantedUrlCol.as("url"), col("n_chars")),
+          k = 10)
+        .select(col("domain"), col("rank").cast("long").as("rank"), col("doc_id"))),
+
     // per-registered-domain corpus stats (docs, distinct hosts, tokens)
     "q_domain_stats" -> ((s, d) =>
       operators.WebCuration.domainStats(
@@ -1780,6 +1789,24 @@ object SparkEntry {
           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         FROM norm GROUP BY 1""",
+
+    // domain quota: same registered-domain extraction, same exact integer
+    // window order (n_chars DESC, doc_id) — row_number is engine-identical
+    // on a total order
+    "q_domain_quota" ->
+      raw"""$UrlCtes,
+        ranked AS (
+          SELECT
+            CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) <> ''
+                 THEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) ELSE host END AS domain,
+            norm.doc_id,
+            row_number() OVER (
+              PARTITION BY CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) <> ''
+                   THEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) ELSE host END
+              ORDER BY d.n_chars DESC, norm.doc_id) AS rank
+          FROM norm JOIN documents d ON norm.doc_id = d.doc_id)
+        SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id
+        FROM ranked WHERE rank <= 10""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, count(*) AS cnt, min(doc_id) AS keep_id

@@ -148,6 +148,38 @@ object WebCuration {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
       .where(col("cnt") > 1)
 
+  /** Per-domain document quota (the crawl-balance pass): keep at most `k`
+    * documents per registered domain, preferring higher `orderCol` (quality
+    * score, length, …) with id tie-break — the standard guard against one
+    * link-farm domain dominating a training mix. Returns the kept rows with
+    * (domain, rank ∈ 1..k) attached.
+    *
+    * Scale: a single window keyed by domain would pin each domain to one
+    * task — and crawl domains are exactly the key with million-row hot
+    * entries — so this is the repo's salted TWO-PHASE top-k (same shape as
+    * BM25/RRF ranking): rank within (domain, crc32(id) % 64) first, then
+    * rank the ≤ 64·k survivors per domain. The ordering key is exact
+    * integer/string comparison — no float, nothing to round, the SQL oracle
+    * replicates it verbatim.
+    */
+  def domainQuota(
+      df: DataFrame,
+      k: Int,
+      urlCol: String = "url",
+      idCol: String = "doc_id",
+      orderCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDomain = df.withColumn("domain", registeredDomainCol(col(urlCol)))
+    val pre = Window.partitionBy(col("domain"), crc32(col(idCol).cast("string")) % 64)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val fin = Window.partitionBy(col("domain"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    withDomain
+      .withColumn("prerank", row_number().over(pre)).where(col("prerank") <= k)
+      .withColumn("rank", row_number().over(fin)).where(col("rank") <= k)
+      .drop("prerank")
+  }
+
   /** Per-registered-domain corpus stats — the source-quality table every
     * web-scale pipeline maintains (domain allow/deny lists, per-domain
     * sampling weights). One partial-agg shuffle keyed by domain; token

@@ -73,6 +73,24 @@ class WebCurationSpec extends AnyFunSuite {
     assert(m("other.net") == ((1L, 1L, 2L)))
   }
 
+  test("domainQuota keeps top-k per registered domain by order col, dense ranks 1..k, id tie-break") {
+    // hot.com has 5 docs with k=3 — the two shortest must be cut; ties on
+    // n_chars resolve by ascending doc_id; cold.net keeps its single doc
+    val df = Seq(
+      (1L, "https://a.hot.com/1", 50L),
+      (2L, "https://b.hot.com/2", 90L),
+      (3L, "https://hot.com/3", 90L), // ties with 2 → doc_id 2 ranks first
+      (4L, "https://www.hot.com/4", 10L),
+      (5L, "https://hot.com/5", 70L),
+      (6L, "https://cold.net/6", 5L)).toDF("doc_id", "url", "n_chars")
+    val kept = WebCuration.domainQuota(df, k = 3).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+      .toSet
+    assert(kept == Set(
+      ("hot.com", 1, 2L), ("hot.com", 2, 3L), ("hot.com", 3, 5L),
+      ("cold.net", 1, 6L)))
+  }
+
   test("ccnetNormalize: accents (both unicode forms), case, digits, whitespace; idempotent") {
     val f = WebCuration.ccnetNormalize
     // precomposed é and decomposed e+́ normalize identically
