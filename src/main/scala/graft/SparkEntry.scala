@@ -759,6 +759,12 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), threshold = 0.45)),
 
+    // SemDeDup: within-cluster semantic dedup (clusters = the table's label
+    // column, standing in for the IVF assignment), keep-the-outlier survivor
+    // rule — full keep/drop decision table, exact DuckDB replica
+    "q_semdedup" -> ((s, d) =>
+      Dedup.semDedup(t(s, d, "embeddings"), threshold = 0.3)),
+
     "q_ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
@@ -2162,6 +2168,41 @@ object SparkEntry {
           AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45""",
+
+    // SemDeDup: same centroid fold as q_embed_centroids, same dot-product
+    // fold as q_embed_neardup; keep/drop comparisons run on UNROUNDED
+    // doubles in both engines (IEEE-exact ops only), rounding applies to
+    // the emitted centroid_cos column alone
+    "q_semdedup" ->
+      """WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        g AS (
+          SELECT label, count(*) AS n_vecs, list(emb ORDER BY vec_id) AS vecs
+          FROM e GROUP BY label),
+        c AS (
+          SELECT label,
+            list_transform(
+              list_reduce(vecs, (a, v) -> list_transform(range(1, len(a) + 1), i -> a[i] + v[i])),
+              x -> x / n_vecs) AS centroid
+          FROM g),
+        s AS (
+          SELECT vec_id, e.label, emb,
+            list_dot_product(emb, centroid)
+              / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(centroid, centroid))) AS ccos
+          FROM e JOIN c USING (label)),
+        p AS (
+          SELECT a.vec_id AS xa, b.vec_id AS xb, a.ccos AS ca, b.ccos AS cb
+          FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3),
+        losers AS (
+          SELECT DISTINCT CASE WHEN ca <= cb THEN xb ELSE xa END AS vec_id FROM p)
+        SELECT s.vec_id, CAST(s.label AS BIGINT) AS cluster,
+          round(s.ccos, 6) AS centroid_cos,
+          s.vec_id NOT IN (SELECT vec_id FROM losers) AS is_kept
+        FROM s""",
 
     "q_sibling_search" ->
       """WITH chunks AS (

@@ -536,4 +536,72 @@ object Dedup {
         lit(true).as("kept"))
     decided.unionByName(loners)
   }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC deduplication
+    * within precomputed embedding clusters — the pass that removes "same
+    * content, different words" documents MinHash can't see. Within each
+    * cluster, any two items with cosine ≥ `threshold` are semantic
+    * duplicates; from every such pair the member with the HIGHER
+    * cosine-to-centroid is dropped (the paper's keep-the-outlier rule —
+    * prototypical restatements go, the most distinctive phrasing stays),
+    * ties by keeping the lower id. Returns the full decision table
+    * (vec_id, cluster, centroid_cos, is_kept) — drop set and keep set are
+    * one filter away.
+    *
+    * Clusters are an INPUT (a label column), not computed here: at scale
+    * they come from the materialized IVF index ([[graft.operators.IvfIndex]]
+    * assignments), which is exactly how the paper runs (k-means preceding
+    * the dedup). That also keeps this fully oracle-able — no data-dependent
+    * pivots in the operator itself.
+    *
+    * Numerics: pair cosine is the codegen'd native expression; centroid
+    * cosine is the same index-order double fold over the sorted-id-fold
+    * centroid ([[graft.extract.Embeddings.centroids]]) — both are
+    * bit-reproducible cross-engine (+,*,/,sqrt are IEEE-exact), so the
+    * keep/drop comparisons need no rounding and the DuckDB oracle replays
+    * them exactly.
+    *
+    * Scale: the whole point of clustering first is that pair verification
+    * is O(Σ cᵢ²) instead of O(N²) — one shuffle keyed by cluster, cluster
+    * sizes bounded (√N-ish under IVF's auto-k). `maxClusterSize` makes the
+    * bound explicit: a cluster above it (degenerate clustering) fails fast
+    * instead of silently quadratic. Centroids are k rows — broadcast.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double,
+      clusterCol: String = "label", idCol: String = "vec_id",
+      embCol: String = "embedding", maxClusterSize: Long = 100000): DataFrame = {
+    val e = embeddings.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(clusterCol).cast("long").as("cluster"),
+      col(embCol).as("emb"))
+    val over = e.groupBy(col("cluster")).count()
+      .where(col("count") > maxClusterSize).limit(1).count()
+    require(over == 0,
+      s"semDedup cluster exceeds maxClusterSize=$maxClusterSize — pairwise verify " +
+        "would go quadratic; re-cluster with more centroids or raise the bound knowingly")
+    val cents = graft.extract.Embeddings.centroids(e, "cluster", "vec_id", "emb")
+      .select(col("cluster"), col("centroid"))
+    val scored = e.join(broadcast(cents), Seq("cluster"))
+      .withColumn("centroid_cos", Similarity.cosineCol(col("emb"), col("centroid")))
+      .select(col("vec_id"), col("cluster"), col("emb"), col("centroid_cos"))
+    val lhs = scored.select(col("cluster"), col("vec_id").as("a"),
+      col("emb").as("ea"), col("centroid_cos").as("ca"))
+    val rhs = scored.select(col("cluster"), col("vec_id").as("b"),
+      col("emb").as("eb"), col("centroid_cos").as("cb"))
+    val pairs = lhs.join(rhs, Seq("cluster"))
+      .where(col("a") < col("b"))
+      .where(Similarity.cosineFast(col("ea"), col("eb")) >= threshold)
+    // from each dup pair the higher-centroid-cos member loses; on an exact
+    // tie the higher id loses (b — a < b always holds here)
+    val losers = pairs
+      .select(when(col("ca") <= col("cb"), col("b")).otherwise(col("a")).as("vec_id"))
+      .distinct()
+    scored
+      .join(losers.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("centroid_cos"), 6).as("centroid_cos"),
+        coalesce(!col("_dropped"), lit(true)).as("is_kept"))
+  }
 }

@@ -134,6 +134,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semDedup drops the higher-centroid-cos member of each in-cluster dup pair") {
+    // cluster 0: vecs 1,2 are near-duplicates (cos ≈ 0.9938); 3 is far from
+    // both. Centroid = mean of the three; 1 sits closer to it than 2
+    // (centroid cos 0.88396 vs 0.88369 — 2 is the outlier of the pair)
+    // → 1 is dropped, 2 and 3 kept.
+    // cluster 1: a dup pair would span clusters — 4 ≈ 1 but in cluster 1
+    // with nothing near it → kept (SemDeDup never compares across clusters).
+    val emb = Seq(
+      (1L, 0, Array(1f, 0f, 0f)),
+      (2L, 0, Array(0.9f, 0.1f, 0f)),
+      (3L, 0, Array(0f, 0f, 1f)),
+      (4L, 1, Array(1f, 0.01f, 0f)),
+      (5L, 1, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Dedup.semDedup(emb, threshold = 0.95)
+      .select($"vec_id", $"is_kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+  }
+
+  test("semDedup fails fast on a cluster over maxClusterSize") {
+    val emb = (1L to 10L).map(i => (i, 0, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDedup(emb, threshold = 0.9, maxClusterSize = 5).collect()
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+  }
+
   // ------------------------------------------------------------ Similarity
 
   test("bruteForceTopK exact ranks with deterministic tiebreak") {
