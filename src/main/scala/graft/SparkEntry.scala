@@ -521,6 +521,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl_bucket"))
     }),
 
+    // DSIR data selection: English docs play the target distribution, all
+    // docs the raw pool; hashed unigram+bigram bag models, add-1 smoothed
+    // log-ratios, top-200 importance cut. Rank/selected only in the gated
+    // output (ln noise absorbed by the shared round-9 before ranking).
+    "q_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Curation.dsirWeights(docs, docs.where(col("lang") === "en"),
+        selectK = 200)
+    }),
+
     // per-language length deciles (curriculum/packing buckets)
     "q_quantile_bins" -> ((s, d) =>
       operators.Curation.quantileBins(
@@ -1663,6 +1673,47 @@ object SparkEntry {
           CAST(ntile(3) OVER (PARTITION BY lang ORDER BY rscore, doc_id) AS BIGINT)
             AS ppl_bucket
         FROM scored""",
+
+    // DSIR: same tokenization, same md5-prefix bucket (the 15-hex-char
+    // value folds exactly like conv(...,16,10)), same add-1 log-ratio
+    // model over the lang='en' target slice, same round-9-then-rank cut.
+    // Buckets present only in the target never join a raw feature, so the
+    // LEFT JOIN here is row-identical to the engine's full_outer model.
+    "q_dsir_select" ->
+      """WITH toks AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        f0 AS (
+          SELECT doc_id, lang,
+            unnest(tk || list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS feat
+          FROM toks WHERE len(tk) >= 1),
+        f AS (
+          SELECT doc_id, lang,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16),
+                i -> CAST(strpos('0123456789abcdef', substr(md5(feat), i, 1)) - 1 AS BIGINT))),
+              (a, x) -> a * 16 + x) % 8192 AS bucket
+          FROM f0),
+        tcnt AS (SELECT bucket, count(*)::DOUBLE AS ct FROM f WHERE lang = 'en' GROUP BY bucket),
+        rcnt AS (SELECT bucket, count(*)::DOUBLE AS cr FROM f GROUP BY bucket),
+        tot AS (SELECT (SELECT sum(ct) FROM tcnt) AS tott,
+                       (SELECT sum(cr) FROM rcnt) AS totr),
+        model AS (
+          SELECT bucket,
+            ln((coalesce(ct, 0.0) + 1.0) / (tott + 8192)) -
+            ln((cr + 1.0) / (totr + 8192)) AS lr
+          FROM rcnt LEFT JOIN tcnt USING (bucket), tot),
+        scored AS (
+          SELECT f.doc_id, count(*) AS n_feats, round(sum(m.lr), 9) AS rlogw
+          FROM f JOIN model m USING (bucket) GROUP BY f.doc_id),
+        ranked AS (
+          SELECT doc_id, n_feats,
+            row_number() OVER (ORDER BY rlogw DESC, doc_id) AS rk
+          FROM scored)
+        SELECT doc_id, n_feats,
+          CASE WHEN rk <= 200 THEN CAST(rk AS BIGINT) END AS rank,
+          rk <= 200 AS selected
+        FROM ranked""",
 
     // temperature rates: Σ√n folded in sorted-lang order (list_reduce over
     // an ORDER BY list) to match the engine's deterministic driver fold;

@@ -327,4 +327,81 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
   }
+
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    * raw document by its importance weight under hashed-n-gram bag models of
+    * a TARGET corpus vs the RAW corpus, and keep the top `selectK`. The
+    * features are word unigrams + bigrams hashed into `nBuckets` buckets
+    * (md5-derived — engine-reproducible by construction); per-bucket
+    * log-ratios use add-1 smoothing; a document's log-weight is the SUM of
+    * its features' log-ratios (paper §2.2, bag-of-hashed-ngrams estimator).
+    *
+    * Determinism contract: the float log-weight never reaches the gated
+    * output — docs are ranked by round(weight, 9) with doc_id tie-break
+    * (the repo's standard ln-ulp absorber) and the emitted columns are
+    * (doc_id, n_feats, rank ∈ 1..selectK or null, selected).
+    *
+    * Scale: one explode per corpus into bucket ids, one partial-agg shuffle
+    * keyed by bucket (≤ nBuckets rows out — Zipf-hot features are absorbed
+    * map-side), the bucket model broadcast back onto the raw explode
+    * (nBuckets is chosen small precisely so the model is a broadcast
+    * table), one per-doc agg. The top-K cut is orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps, never a global sort — and
+    * only the K selected rows see a numbering window (bounded frame, same
+    * dispensation as the retrievers' topK seed collects). A full global
+    * rank of every raw doc is deliberately NOT emitted: that would be a
+    * single-task window at corpus scale for a column nothing downstream
+    * reads.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      selectK: Int,
+      nBuckets: Int = 8192,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    // unigrams ++ bigrams, NOT distinct — DSIR counts occurrences
+    def feats(df: DataFrame) = {
+      val toks = filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= lit(""))
+      df.select(col(idCol), toks.as("tk"))
+        .where(size(col("tk")) >= 1)
+        .select(col(idCol), explode(concat(
+          col("tk"),
+          when(size(col("tk")) >= 2,
+            transform(sequence(lit(1), size(col("tk")) - 1),
+              i => concat(element_at(col("tk"), i), lit(" "),
+                element_at(col("tk"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("feat"))
+        // 15 hex chars < 2^60 — exact in a long; identical fold in DuckDB
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
+            lit(nBuckets.toLong)))
+        .select(col(idCol), col("bucket"))
+    }
+    def bucketCounts(df: DataFrame, cnt: String) =
+      feats(df).groupBy(col("bucket")).agg(count(lit(1)).cast("double").as(cnt))
+    val tCnt = bucketCounts(target, "ct")
+    val rFeats = feats(raw)
+    val rCnt = rFeats.groupBy(col("bucket")).agg(count(lit(1)).cast("double").as("cr"))
+    // totals as 1-row broadcast frames (no driver action on the hot path)
+    val tTot = tCnt.agg(sum(col("ct")).as("tott"))
+    val rTot = rCnt.agg(sum(col("cr")).as("totr"))
+    val model = rCnt.join(tCnt, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0.0)) + 1.0) / (col("tott") + nBuckets)) -
+         log((coalesce(col("cr"), lit(0.0)) + 1.0) / (col("totr") + nBuckets))).as("lr"))
+    val scored = rFeats.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
+      .withColumn("rlogw", round(col("logw"), 9))
+    val top = scored.orderBy(col("rlogw").desc, col(idCol)).limit(selectK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rlogw").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rank"))
+    scored.join(broadcast(top), Seq(idCol), "left")
+      .select(col(idCol), col("n_feats"), col("rank"),
+        col("rank").isNotNull.as("selected"))
+  }
 }

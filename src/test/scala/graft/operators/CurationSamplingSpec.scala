@@ -178,4 +178,32 @@ class CurationSamplingSpec extends AnyFunSuite {
       .select($"doc_id", $"ppl_bucket").as[(Long, Long)].collect().toMap
     assert(re == out)
   }
+
+  test("dsirWeights: target-like docs outrank off-target, ranks 1..K, partition-invariant") {
+    val catty = "cats purr and cats nap in warm sun all day long"
+    val traffic = "highway traffic jam delays commute for many angry drivers today"
+    val corpus =
+      (0L until 6L).map(i => (i, "en", catty)) ++        // target slice (lang=en)
+        (10L until 16L).map(i => (i, "xx", catty)) ++    // raw, target-like
+        (20L until 26L).map(i => (i, "xx", traffic)) :+  // raw, off-target
+        ((99L, "xx", "   ")) // zero tokens: excluded entirely
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val out = Curation.dsirWeights(df, df.where($"lang" === "en"), selectK = 12)
+      .select($"doc_id", $"n_feats", $"rank", $"selected")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(99L), "token-less docs are excluded")
+    assert(out.length == 18)
+    // n_feats = tokens + bigrams: catty 11+10, traffic 10+9
+    assert(out.forall(r => r._2 == (if (r._1 >= 20L) 19L else 21L)))
+    // every catty raw doc (and the target copies, which are also raw rows)
+    // must outrank every traffic doc: the 12 selected = the 12 catty docs
+    val selected = out.filter(_._4).map(_._1).toSet
+    assert(selected == ((0L until 6L) ++ (10L until 16L)).toSet)
+    assert(out.filter(_._4).flatMap(_._3).sorted.toSeq == (1L to 12L))
+    assert(out.filterNot(_._4).forall(_._3.isEmpty), "unselected rank is null")
+    val re = Curation.dsirWeights(df.repartition(7), df.where($"lang" === "en"), selectK = 12)
+      .select($"doc_id", $"rank").as[(Long, Option[Long])].collect().toMap
+    assert(re == out.map(r => r._1 -> r._3).toMap, "rank survives repartitioning")
+  }
 }
