@@ -203,6 +203,41 @@ object SparkEntry {
       .where(col("src") =!= col("dst"))
       .dropDuplicates("src", "dst")
 
+  /** One (table_name, n_rows, cols, digest) row pinning a stage table's full
+    * content: order-independent sum of per-row xxhash64 over every
+    * deterministic column (floats/doubles excluded — embeddings and weights
+    * are pinned separately by the kg_eval / kg_modularity gates). Column
+    * canonicalization is type-directed so the digest is partition- and
+    * session-invariant: binary → base64, timestamp → epoch micros, arrays →
+    * JSON, everything else → string cast; NULL → a sentinel no real value
+    * produces. Sum runs in decimal(38,0) (|xxhash64| < 2^63 ⇒ no overflow
+    * below 10^19 rows) so ANSI mode cannot throw.
+    */
+  private def contentDigest(name: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def keep(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => false
+      case ArrayType(et, _) => keep(et)
+      case _ => true
+    }
+    val kept = df.schema.fields.filter(f => keep(f.dataType)).sortBy(_.name)
+    val canon = kept.map { f =>
+      val c = col(f.name)
+      val v = f.dataType match {
+        case BinaryType => base64(c)
+        case TimestampType => unix_micros(c).cast("string")
+        case _: ArrayType => to_json(c)
+        case _ => c.cast("string")
+      }
+      coalesce(v, lit("\u0000NULL"))
+    }
+    df.select(xxhash64(canon: _*).cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")).cast("string").as("digest"))
+      .select(lit(name).as("table_name"), lit(kept.map(_.name).mkString(",")).as("cols"),
+        col("n_rows"), col("digest"))
+  }
+
   /** Deterministic probe vector for the vector-search queries: the same
     * embedder the pipeline uses, applied to a fixed query text.
     */
@@ -951,6 +986,31 @@ object SparkEntry {
           louv.levels.head.communities.count(), louv.levels.size.toLong))
         .toDF("n_chunks", "n_entities", "n_mentions", "n_triples_raw",
           "n_resolves_to", "n_resolved_triples", "n_l1_communities", "n_levels")
+    }),
+
+    // full-content digest of every KG stage table over the same pinned
+    // corpus: where kg_gate pins cardinalities, this pins every
+    // deterministic CELL (order-independent xxhash64 sum per table, floats
+    // excluded). Any silent content drift in pages → chunks → extraction →
+    // assembly → ER → lift → communities flips a digest even when row
+    // counts are unchanged. Constant oracle row per table.
+    "kg_content_gate" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      val louv = st.louvain
+      val tables: Seq[(String, DataFrame)] = Seq(
+        "pages" -> st.pages.toDF(),
+        "chunks" -> st.chunks.toDF(),
+        "triples_raw" -> st.triples.toDF(),
+        "mentions" -> operators.GraphAssembly.mentions(st.extracted).toDF(),
+        "entities" -> st.entities.toDF(),
+        "resolves_to" -> st.resolvesTo.toDF(),
+        "resolved_triples" -> st.resolvedTriples.toDF(),
+        "type_relationships" -> Lift.typeRelationships(
+          st.triples, GraphAssembly.entityTypes(st.extracted)).toDF(),
+        "community_descriptions" -> st.communityDescriptions) ++
+        louv.levels.map(l => s"louvain_l${l.iteration}_membership" -> l.membership)
+      tables.map { case (n, df) => contentDigest(n, df) }
+        .reduce(_ unionAll _).orderBy(col("table_name"))
     }),
 
     // ---- graph analytics over the resolved KG (tg_pagerank/tg_bfs/
@@ -2147,6 +2207,36 @@ object SparkEntry {
           11762::BIGINT AS n_mentions, 5879::BIGINT AS n_triples_raw,
           180::BIGINT AS n_resolves_to, 2895::BIGINT AS n_resolved_triples,
           6::BIGINT AS n_l1_communities, 2::BIGINT AS n_levels""",
+
+    // per-table full-content digests over the pinned 1500-page corpus
+    // (order-independent xxhash64 sums, floats excluded) — captured from two
+    // independent runs (identical), so this constant row set IS the content
+    // of every stage table; any cell drift anywhere in the chain flips one.
+    "kg_content_gate" ->
+      """SELECT * FROM (VALUES
+          ('chunks', 'chunk_id,doc_id,idx,text', 23762::BIGINT,
+           '-449841807844719745933'),
+          ('community_descriptions', 'community_id,description,iteration',
+           12::BIGINT, '1499816272989353191'),
+          ('entities', 'descriptions,entity_id,entity_type', 180::BIGINT,
+           '24537888728201030590'),
+          ('louvain_l1_membership', 'child_id,community_id', 61::BIGINT,
+           '44027144755596368941'),
+          ('louvain_l2_membership', 'child_id,community_id', 6::BIGINT,
+           '-15102757332275871262'),
+          ('mentions', 'chunk_id,entity_id', 11762::BIGINT,
+           '226299699436355727950'),
+          ('pages', 'html,lang,text,url,warc_ts', 1500::BIGINT,
+           '-150820746009200669459'),
+          ('resolved_triples', 'obj,pred,subj', 2895::BIGINT,
+           '102233526355990428963'),
+          ('resolves_to', 'canonical_id,entity_id', 180::BIGINT,
+           '162008905017323492000'),
+          ('triples_raw', 'chunk_id,obj,pred,subj', 5879::BIGINT,
+           '109968386043217273634'),
+          ('type_relationships', 'dst_type,frequency,relation_type,src_type',
+           72::BIGINT, '-22662055010314101663')
+        ) t(table_name, cols, n_rows, digest) ORDER BY table_name""",
 
     "q_dedup_prefix" ->
       """SELECT md5(substr(text, 1, 50)) AS fingerprint, count(*) AS cnt,
