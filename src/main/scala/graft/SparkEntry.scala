@@ -13,7 +13,7 @@ import graft.functions.Normalize
 import graft.model._
 import graft.operators.{Dedup, GraphAssembly, Lift, Similarity, TextStats}
 import graft.resolve.Resolution
-import graft.retrieval.Retrieval
+import graft.retrieval.{Retrieval, RetrieverDriver}
 
 /** Driver contract — the queryable surface of the engine.
   *
@@ -243,6 +243,31 @@ object SparkEntry {
     */
   private def kgProbeVec(s: SparkSession): Array[Float] =
     new graft.extract.HashEmbedder(1536, 42).embed("works at corporation technology")
+
+  /** Canned completion backend for the Q7 retriever-driver gate — routes on
+    * the distinguishing phrase of each reference prompt template (the same
+    * dispatch the drivers exercise against a real provider), with
+    * corpus-relevant candidates so every path retrieves nonempty context.
+    * The answer step hashes its full prompt, so the pinned response strings
+    * witness the exact assembled prompt (question + retrieved sources).
+    */
+  private object DriverLlm extends graft.extract.LlmClient {
+    def complete(prompt: String): String =
+      if (prompt.contains("generating 10 new questions"))
+        """{"candidates": [
+            {"candidate": "works at corporation technology", "quality_score": 90},
+            {"candidate": "technology corporation employees", "quality_score": 70}]}"""
+      else if (prompt.contains("extracting key terms"))
+        """{"candidates": [
+            {"candidate": "corporation", "quality_score": 95},
+            {"candidate": "technology", "quality_score": 80}]}"""
+      else if (prompt.contains("writing an example of a document"))
+        "founded the corporation technology group"
+      else if (prompt.startsWith("Answer this question:"))
+        "ANSWER:" + Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(prompt, 42))
+      else "{}"
+  }
 
   /** Deterministic clustered vectors (unit centers + gaussian noise) —
     * the planted-structure corpus for the IVF recall gate. Seeded
@@ -1176,6 +1201,52 @@ object SparkEntry {
       val entityEmb = Resolution.embedEntities(st.entities, Resolution.Params())
       Retrieval.hybridVectorSearch(edges, entityEmb, kgProbeVec(s),
         topKSeeds = 3, numHops = 2, numSeenMin = 1)
+    }),
+
+    // Q7 — the retriever DRIVER layer end-to-end over the pinned corpus:
+    // five (driver, mode) configurations through RetrieverDriver with the
+    // canned DriverLlm + the pipeline embedder. The response column is a
+    // hash of the final assembled answer prompt, so each pinned row
+    // witnesses the whole flow (expansion/keywords/HyDE -> start set ->
+    // distributed search -> context assembly -> response prompt) cell-for-
+    // cell. Constant oracle.
+    "kg_retriever_driver" -> ((s, d) => {
+      import s.implicits._
+      val st = kg(s, d)
+      val embed: String => Array[Float] =
+        new graft.extract.HashEmbedder(1536, 42).embed
+      val q = "works at corporation technology"
+      val withEmb = st.chunkEmbeddings
+        .join(st.chunks.toDF().select($"chunk_id", $"text"), "chunk_id")
+        .select($"chunk_id".as("id"), $"embedding", $"text".as("content"))
+        .localCheckpoint(true)
+      val docs = st.docs.toDF()
+      val entities = st.entities.toDF()
+      val communities = st.communityDescriptions
+      def sim(hyde: Boolean, expand: Boolean) =
+        RetrieverDriver.similarityRetrieveAnswer(q, withEmb, st.chunks.toDF(), docs,
+          entities, communities, DriverLlm, embed, topK = 3,
+          withHyDE = hyde, expand = expand, similarityThreshold = 0.5)
+      val mentions = GraphAssembly.mentions(st.extracted).toDF()
+      val edges = Retrieval.typedEdges(st.triples.toDF(), mentions, st.chunks.toDF())
+        .localCheckpoint(true)
+      val entityEmb = Resolution.embedEntities(st.entities, Resolution.Params())
+        .localCheckpoint(true)
+      def hyb(expand: Boolean, method: String) =
+        RetrieverDriver.hybridRetrieveAnswer(q, edges, entityEmb, st.chunks.toDF(),
+          entities, DriverLlm, embed, topK = 2, numHops = 2,
+          expand = expand, method = method)
+      val rows = Seq(
+        ("similarity", "plain", sim(hyde = false, expand = false)),
+        ("similarity", "hyde", sim(hyde = true, expand = false)),
+        ("similarity", "expand", sim(hyde = false, expand = true)),
+        ("hybrid", "vector", hyb(expand = false, method = "similarity")),
+        ("hybrid", "keywords", hyb(expand = true, method = "keywords")))
+      rows.map { case (driver, mode, a) =>
+        (driver, mode, a.retrieved.size.toLong,
+          a.retrieved.map(_.length.toLong).sum, a.response)
+      }.toDF("driver", "mode", "n_sources", "source_chars", "response")
+        .orderBy($"driver", $"mode")
     }),
 
     "kg_community_search" -> ((s, d) => {
@@ -2207,6 +2278,21 @@ object SparkEntry {
           11762::BIGINT AS n_mentions, 5879::BIGINT AS n_triples_raw,
           180::BIGINT AS n_resolves_to, 2895::BIGINT AS n_resolved_triples,
           6::BIGINT AS n_l1_communities, 2::BIGINT AS n_levels""",
+
+    // Q7 retriever drivers — five (driver, mode) flows pinned end-to-end
+    // (constant oracle; response = hash of the fully assembled answer
+    // prompt, so these witness expansion/keywords/HyDE -> start set ->
+    // search -> context -> prompt cell-for-cell). Captured from independent
+    // runs with identical rows.
+    "kg_retriever_driver" ->
+      """SELECT * FROM (VALUES
+          ('hybrid', 'keywords', 3::BIGINT, 3468::BIGINT, 'ANSWER:f63691eb'),
+          ('hybrid', 'vector', 3::BIGINT, 31810::BIGINT, 'ANSWER:7483901b'),
+          ('similarity', 'expand', 3::BIGINT, 110::BIGINT, 'ANSWER:f2e31392'),
+          ('similarity', 'hyde', 3::BIGINT, 106::BIGINT, 'ANSWER:35b9502e'),
+          ('similarity', 'plain', 3::BIGINT, 110::BIGINT, 'ANSWER:f2e31392')
+        ) t(driver, mode, n_sources, source_chars, response)
+        ORDER BY driver, mode""",
 
     // per-table full-content digests over the pinned 1500-page corpus
     // (order-independent xxhash64 sums, floats excluded) — captured from two
