@@ -86,4 +86,53 @@ class SourcesSpec extends AnyFunSuite {
     val existing = Seq("a", "b", "c").toDF("id")
     assert(Lifecycle.nonexistent(cand, existing, "id").as[String].collect().toSeq == Seq("x"))
   }
+
+  test("cloud data-source creation: validation parity and connector mapping") {
+    import graft.sources.CloudSources
+    // s3: both keys mandatory, one shared error message (supportai.py:166-171)
+    val s3 = CloudSources.create(spark, "S3",
+      Map("aws_access_key" -> "AK", "aws_secret_key" -> "SK", "data_path" -> "s3a://b/p"),
+      graphname = "g", idSuffix = Some("t1"))
+    assert(s3.properties == Map("fs.s3a.access.key" -> "AK", "fs.s3a.secret.key" -> "SK"))
+    assert(s3.sourceId == "SupportAI_g_t1" && s3.dataPath == "s3a://b/p")
+    val e1 = intercept[IllegalArgumentException] {
+      CloudSources.create(spark, "s3", Map("aws_access_key" -> "AK"))
+    }
+    assert(e1.getMessage == "AWS credentials not provided")
+    // azure: account key path, else the full OAuth triple with field errors
+    val abs = CloudSources.create(spark, "azure", Map("account_key" -> "K"), idSuffix = Some("t"))
+    assert(abs.properties == Map("fs.azure.account.key" -> "K"))
+    assert(intercept[IllegalArgumentException] {
+      CloudSources.create(spark, "azure", Map("client_id" -> "c"))
+    }.getMessage == "Client secret not provided")
+    assert(intercept[IllegalArgumentException] {
+      CloudSources.create(spark, "azure", Map("client_id" -> "c", "client_secret" -> "s"))
+    }.getMessage == "Tenant id not provided")
+    assert(intercept[IllegalArgumentException] {
+      CloudSources.create(spark, "azure", Map.empty)
+    }.getMessage == "Azure credentials not provided")
+    val oauth = CloudSources.create(spark, "azure",
+      Map("client_id" -> "c", "client_secret" -> "s", "tenant_id" -> "T"), idSuffix = Some("t"))
+    assert(oauth.properties("fs.azure.account.oauth2.client.endpoint")
+      == "https://login.microsoftonline.com/T/oauth2/token")
+    // gcs: four mandatory fields, field-specific messages (supportai.py:207-218)
+    assert(intercept[IllegalArgumentException] {
+      CloudSources.create(spark, "gcs", Map.empty)
+    }.getMessage == "Project id not provided")
+    val gcs = CloudSources.create(spark, "gcs", Map("project_id" -> "p",
+      "private_key_id" -> "kid", "private_key" -> "key", "client_email" -> "e@x"),
+      idSuffix = Some("t"))
+    assert(gcs.properties("fs.gs.auth.service.account.email") == "e@x")
+    // local: no properties, fixed source id (supportai.py:242-243)
+    val local = CloudSources.create(spark, "LOCAL", Map.empty)
+    assert(local.properties.isEmpty && local.sourceId == "DocumentContent")
+    // unknown source: reference error text (supportai.py:232)
+    assert(intercept[IllegalArgumentException] {
+      CloudSources.create(spark, "ftp", Map.empty)
+    }.getMessage == "Data source not implemented")
+    // applyToSession pushes properties into the Hadoop conf the readers use
+    CloudSources.create(spark, "s3", Map("aws_access_key" -> "A2",
+      "aws_secret_key" -> "S2"), applyToSession = true)
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.access.key") == "A2")
+  }
 }
