@@ -263,6 +263,17 @@ object SparkEntry {
             {"candidate": "technology", "quality_score": 80}]}"""
       else if (prompt.contains("writing an example of a document"))
         "founded the corporation technology group"
+      else if (prompt.contains("generating an answer to the question below using the data provided")) {
+        // community scoring map step: candidate + score derived from the
+        // context, so ranking is deterministic and context-sensitive
+        val h = scala.util.hashing.MurmurHash3.stringHash(prompt, 7)
+        s"""{"answer": "cand:${Integer.toHexString(h)}", "quality_score": ${math.abs(h) % 101}}"""
+      } else if (prompt.contains("Extract a knowledge graph"))
+        // entity_rel driver extracts seeds from the QUESTION; these ids/types
+        // exist in the synthesized corpus after normalization
+        """{"nodes": [{"id": "pokube corporation", "node_type": "org", "definition": "d"}],
+            "rels": [{"source": "pokube corporation", "target": "posube rosube",
+                      "relation_type": "works at", "definition": "d"}]}"""
       else if (prompt.startsWith("Answer this question:"))
         "ANSWER:" + Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(prompt, 42))
@@ -1236,12 +1247,34 @@ object SparkEntry {
         RetrieverDriver.hybridRetrieveAnswer(q, edges, entityEmb, st.chunks.toDF(),
           entities, DriverLlm, embed, topK = 2, numHops = 2,
           expand = expand, method = method)
+      val louv = st.louvain
+      val comms = louv.levels.map(_.communities).reduce(_ unionByName _)
+        .join(st.communityDescriptions, Seq("community_id", "iteration"), "left")
+        .na.fill("", Seq("description"))
+      val hasParent = if (louv.levels.size > 1)
+        louv.levels.tail.map(_.membership).reduce(_ unionByName _)
+          .toDF("community_id", "parent_id")
+      else comms.select($"community_id", $"community_id".as("parent_id")).limit(0)
+      val inComm = louv.levels.head.membership.toDF("canonical_id", "community_id")
+        .localCheckpoint(true)
+      val community = RetrieverDriver.communityRetrieveAnswer(q, comms,
+        st.communityEmbeddings, hasParent, inComm,
+        st.resolvesTo.toDF().localCheckpoint(true), mentions, st.chunks.toDF(),
+        DriverLlm, embed, communityLevel = 1, topK = 2)
+      val sibling = RetrieverDriver.siblingRetrieveAnswer(q, st.chunks.toDF(),
+        st.chunkEmbeddings, DriverLlm, embed, topK = 2)
+      val entRel = RetrieverDriver.entityRelationshipRetrieveAnswer(q,
+        st.entities.toDF(), mentions, st.chunks.toDF(), st.triples.toDF(),
+        DriverLlm, topK = 5)
       val rows = Seq(
         ("similarity", "plain", sim(hyde = false, expand = false)),
         ("similarity", "hyde", sim(hyde = true, expand = false)),
         ("similarity", "expand", sim(hyde = false, expand = true)),
         ("hybrid", "vector", hyb(expand = false, method = "similarity")),
-        ("hybrid", "keywords", hyb(expand = true, method = "keywords")))
+        ("hybrid", "keywords", hyb(expand = true, method = "keywords")),
+        ("community", "scored", community),
+        ("sibling", "vector", sibling),
+        ("entity_rel", "extract", entRel))
       rows.map { case (driver, mode, a) =>
         (driver, mode, a.retrieved.size.toLong,
           a.retrieved.map(_.length.toLong).sum, a.response)
@@ -2286,8 +2319,11 @@ object SparkEntry {
     // runs with identical rows.
     "kg_retriever_driver" ->
       """SELECT * FROM (VALUES
+          ('community', 'scored', 2::BIGINT, 26::BIGINT, 'ANSWER:6f1ef068'),
+          ('entity_rel', 'extract', 5::BIGINT, 157::BIGINT, 'ANSWER:ef9b8def'),
           ('hybrid', 'keywords', 3::BIGINT, 3468::BIGINT, 'ANSWER:f63691eb'),
           ('hybrid', 'vector', 3::BIGINT, 31810::BIGINT, 'ANSWER:7483901b'),
+          ('sibling', 'vector', 2::BIGINT, 853::BIGINT, 'ANSWER:687401bd'),
           ('similarity', 'expand', 3::BIGINT, 110::BIGINT, 'ANSWER:f2e31392'),
           ('similarity', 'hyde', 3::BIGINT, 106::BIGINT, 'ANSWER:35b9502e'),
           ('similarity', 'plain', 3::BIGINT, 110::BIGINT, 'ANSWER:f2e31392')

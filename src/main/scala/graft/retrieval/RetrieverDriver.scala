@@ -56,6 +56,12 @@ object RetrieverDriver {
   val KeywordExtractionPrompt: String =
     "You are a helpful assistant responsible for extracting key terms (glossary) from all the questions below to represent their original meaning as much as possible. Each term should only contain a couple of words. Include a quality score for the each extracted glossary, based on how important and frequent it's in the given questions. The quality score should range from 0 (poor) to 100 (excellent), with higher scores indicating terms that are both significant and frequent in the context of the questions.\nThe output should only contain the extracted terms and their quality scores using the required format.\n\nQuestion: {question}\n\n{format_instructions}\n"
 
+  /** `base_llm.py:160-161` — the CommunityRetriever's per-context scoring
+    * (map) step.
+    */
+  val GraphragScoringPrompt: String =
+    "You are a helpful assistant responsible for generating an answer to the question below using the data provided.\nInclude a quality score for the answer, based on how well it answers the question. The quality score should be between 0 (poor) and 100 (excellent).\n\nQuestion: {question}\nContext: {context}\n\n{format_instructions}\n"
+
   /** `base_llm.py:157`. */
   val QuestionExpansionPrompt: String =
     "You are a helpful assistant responsible for generating 10 new questions similar to the original question below to represent its meaning in a more clear way.\nInclude a quality score for the answer, based on how well it represents the meaning of the original question. The quality score should be between 0 (poor) and 100 (excellent).\n\nQuestion: {question}\n\n{format_instructions}\n"
@@ -178,14 +184,65 @@ object RetrieverDriver {
     * shape) and return the completion alongside what was retrieved.
     */
   def generateResponse(llm: LlmClient, question: String,
-      retrieved: Seq[String]): RetrieverAnswer = {
+      retrieved: Seq[String]): RetrieverAnswer =
+    renderResponse(llm, question, pyListRepr(retrieved), retrieved)
+
+  private def renderResponse(llm: LlmClient, question: String,
+      sourcesRepr: String, retrieved: Seq[String]): RetrieverAnswer = {
     val prompt = ResponsePrompt
       .replace("{question}", question)
-      .replace("{sources}", pyListRepr(retrieved))
+      .replace("{sources}", sourcesRepr)
     RetrieverAnswer(llm.complete(prompt), retrieved)
   }
 
   final case class RetrieverAnswer(response: String, retrieved: Seq[String])
+
+  // ---- community scoring (map-reduce answer) -------------------------------
+
+  /** One scored per-community candidate answer — the CommunityAnswer tool
+    * schema (`common/py_schemas/tool_io_schemas.py:130-133`).
+    */
+  final case class CommunityAnswer(answer: String, qualityScore: Int)
+
+  /** Parse a CommunityAnswer completion; empty on any failure. */
+  def parseCommunityAnswer(raw: String): Option[CommunityAnswer] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val body =
+        if (raw.contains("```")) {
+          val parts = raw.split("```", -1)
+          if (parts.length > 1) parts(1).stripPrefix("json").trim else raw.trim
+        } else raw.trim
+      val json = JsonMethods.parse(body)
+      val ans = json \ "answer" match { case JString(s) => Some(s); case _ => None }
+      val score = json \ "quality_score" match {
+        case JInt(n) => Some(n.toInt)
+        case JDouble(d) => Some(d.toInt)
+        case _ => None
+      }
+      (ans, score) match {
+        case (Some(a), Some(q)) => Some(CommunityAnswer(a, q))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `_generate_candidate` + `gather_candidates`
+    * (`CommunityRetriever.py:106-143`): one scoring completion PER context
+    * — the map step of the community map-reduce answer. The reference runs
+    * them concurrently via asyncio.gather; order is preserved there and
+    * here.
+    */
+  def gatherCandidates(llm: LlmClient, question: String,
+      contexts: Seq[String]): Seq[CommunityAnswer] =
+    contexts.flatMap { c =>
+      parseCommunityAnswer(llm.complete(GraphragScoringPrompt
+        .replace("{question}", question)
+        .replace("{context}", c)
+        .replace("{format_instructions}",
+          """Return JSON: {"answer": "...", "quality_score": 0-100}""")))
+    }
 
   // ---- end-to-end drivers --------------------------------------------------
 
@@ -269,5 +326,110 @@ object RetrieverDriver {
       else byType.toSeq.sortBy(_._1)
         .map { case (_, rows) => rows.map(_.getString(1)).distinct.sorted.mkString("\n") }
     generateResponse(llm, question, context)
+  }
+
+  /** CommunityRetriever.retrieve_answer (`CommunityRetriever.py:41-181`):
+    * seed communities at `communityLevel` (vector search, or question
+    * expansion + start set — the reference's level filter is a vertex-id
+    * suffix LIKE `:46-50`; here the `iteration` column, same predicate),
+    * descend to level-1 members and gather their chunk context, then the
+    * map-reduce answer: ONE scoring completion per community context
+    * (CommunityAnswer with quality_score), keep the top_k candidates by
+    * score, and answer over `{'candidate_answer': ..., 'score': ...}`
+    * dicts (`:156-166` — the reference formats that python list-of-dicts
+    * into the response prompt).
+    */
+  def communityRetrieveAnswer(question: String, communities: DataFrame,
+      communityEmbeddings: DataFrame, hasParent: DataFrame,
+      inCommunity: DataFrame, resolvesTo: DataFrame, mentions: DataFrame,
+      chunks: DataFrame, llm: LlmClient, embed: String => Array[Float],
+      communityLevel: Int, topK: Int = 1, similarityThreshold: Double = 0.90,
+      expand: Boolean = false, combine: Boolean = false): RetrieverAnswer = {
+    val levelIds = communities.where(col("iteration") === communityLevel)
+      .select(col("community_id"))
+    val levelEmb = communityEmbeddings
+      .join(levelIds, "community_id")
+    val searched: DataFrame =
+      if (expand) {
+        val questions = expandQuestion(llm, question, topK)
+        val typed = levelEmb.select(col("community_id").as("id"),
+          lit("Community").as("vtype"), col("embedding"))
+        val seeds = generateStartSet(questions, typed, llm, embed, topK,
+          similarityThreshold)
+        Retrieval.communitySearch(communities, hasParent, inCommunity,
+          resolvesTo, mentions, chunks, seeds.map(_.id))
+      } else
+        Retrieval.communityVectorSearch(communities, levelEmb, hasParent,
+          inCommunity, resolvesTo, mentions, chunks, embed(question), topK)
+    // final_retrieval: per seed community, its chunk texts + description
+    val rows = searched
+      .select(col("seed_community_id"), col("text"), col("description"))
+      .collect()
+    val bySeed = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.map(_.getString(2)).distinct ++ rs.map(_.getString(1)).distinct.sorted)
+          .mkString("\n")
+      }
+    val context = if (combine) Seq(bySeed.mkString("\n")) else bySeed
+    val candidates = gatherCandidates(llm, question, context)
+      .sortBy(c => -c.qualityScore).take(topK)
+    val newContext = candidates.map(c =>
+      s"{'candidate_answer': ${pyListRepr(Seq(c.answer)).stripPrefix("[").stripSuffix("]")}, 'score': ${c.qualityScore}}")
+    renderResponse(llm, question, newContext.mkString("[", ", ", "]"),
+      candidates.map(_.answer))
+  }
+
+  /** SiblingRetriever.retrieve_answer (`SiblingRetriever.py:16-80`): seed
+    * chunks (vector/HyDE, or expansion + start set), expand each seed to
+    * its ±window siblings, join each seed's sibling CONTENTS in chain
+    * order, `"\n "`-join on combine (the reference's sibling combine
+    * separator differs from the others — `:72`).
+    */
+  def siblingRetrieveAnswer(question: String, chunks: DataFrame,
+      chunkEmbeddings: DataFrame, llm: LlmClient,
+      embed: String => Array[Float], topK: Int = 1, lookback: Int = 3,
+      lookahead: Int = 3, withHyDE: Boolean = false, expand: Boolean = false,
+      combine: Boolean = false): RetrieverAnswer = {
+    val searched: DataFrame =
+      if (expand) {
+        val questions = expandQuestion(llm, question, topK)
+        val typed = chunkEmbeddings.select(col("chunk_id").as("id"),
+          lit("DocumentChunk").as("vtype"), col("embedding"))
+        val seeds = generateStartSet(questions, typed, llm, embed, topK,
+          withHyDE = withHyDE)
+        Retrieval.siblingSearch(chunks, seeds.map(_.id), lookback, lookahead)
+      } else {
+        val vec = if (withHyDE) hydeEmbedding(llm, embed, question) else embed(question)
+        Retrieval.siblingVectorSearch(chunks, chunkEmbeddings, vec, topK,
+          lookback, lookahead)
+      }
+    val rows = searched
+      .select(col("seed_chunk_id"), col("distance"), col("text")).collect()
+    val bySeed = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getLong(1)).map(_.getString(2)).mkString("\n")
+      }
+    val context = if (combine) Seq(bySeed.mkString("\n ")) else bySeed
+    generateResponse(llm, question, context)
+  }
+
+  /** EntityRelationshipRetriever.retrieve_answer
+    * (`EntityRelationshipRetriever.py:18-33`): run the LLM graph EXTRACTOR
+    * over the QUESTION itself, seed the retrieval with the extracted entity
+    * ids and relation types (exact matches — the GSQL takes id lists, not
+    * patterns), answer over the touched chunks' text.
+    */
+  def entityRelationshipRetrieveAnswer(question: String, entities: DataFrame,
+      mentions: DataFrame, chunks: DataFrame, triples: DataFrame,
+      llm: LlmClient, topK: Int = 1): RetrieverAnswer = {
+    val doc = new graft.extract.JsonLlmExtractor(llm).extract("question", question)
+    val entityIds = doc.nodes.map(_.id).filter(_.nonEmpty).distinct
+    val relTypes = doc.rels.map(_.relation_type).filter(_.nonEmpty).distinct
+    val retrieved: Seq[String] =
+      if (entityIds.isEmpty && relTypes.isEmpty) Nil
+      else Retrieval.entityRelationshipRetrieval(entities, mentions, chunks,
+          triples, entityIds, relTypes, topK)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+    generateResponse(llm, question, retrieved)
   }
 }

@@ -21,7 +21,16 @@ class RetrieverDriverSpec extends AnyFunSuite {
   /** Routes on the distinguishing phrase of each default prompt template. */
   private object FakeLlm extends LlmClient {
     def complete(prompt: String): String =
-      if (prompt.contains("generating 10 new questions"))
+      if (prompt.contains("generating an answer to the question below using the data provided")) {
+        // scoring (map) step: score derived from the context slot so two
+        // contexts rank deterministically differently
+        val ctx = prompt.split("Context: ", 2)(1).split("\n")(0)
+        s"""{"answer": "ans-${ctx.length}", "quality_score": ${ctx.length % 101}}"""
+      } else if (prompt.contains("Extract a knowledge graph"))
+        """{"nodes": [{"id": "alpha ent", "node_type": "org", "definition": "d"}],
+            "rels": [{"source": "alpha ent", "target": "beta ent",
+                      "relation_type": "works at", "definition": "d"}]}"""
+      else if (prompt.contains("generating 10 new questions"))
         """{"candidates": [
             {"candidate": "who does alpha work for", "quality_score": 80},
             {"candidate": "alpha beta gamma", "quality_score": 95},
@@ -162,5 +171,70 @@ class RetrieverDriverSpec extends AnyFunSuite {
       entities, FakeLlm, embed, topK = 2, numHops = 2, expand = true,
       method = "keywords")
     assert(kw.retrieved.exists(_.contains("alpha ent")))
+  }
+
+  test("communityRetrieveAnswer: level seeds, descent context, map-reduce scoring") {
+    // two level-1 communities; c2 is the parent-level seed target at level 2
+    val communities = Seq(("c1", 1, "desc one"), ("c1b", 1, "desc oneb"),
+      ("c2", 2, "desc two")).toDF("community_id", "iteration", "description")
+    val hasParent = Seq(("c1", "c2"), ("c1b", "c2")).toDF("community_id", "parent_id")
+    val inCommunity = Seq(("c1", "alpha_ent"), ("c1b", "zeta_ent"))
+      .toDF("community_id", "canonical_id")
+    val resolvesTo = Seq(("alpha_ent", "alpha_ent"), ("zeta_ent", "zeta_ent"))
+      .toDF("canonical_id", "entity_id")
+    val mentions = Seq(("d1_chunk_0", "alpha_ent"), ("d2_chunk_0", "zeta_ent"))
+      .toDF("chunk_id", "entity_id")
+    val communityEmbeddings = Seq(
+      ("c1", embed("alpha beta gamma")), ("c1b", embed("zeta eta theta")),
+      ("c2", embed("alpha beta gamma"))).toDF("community_id", "embedding")
+    // vector path at level 1: question seeds c1 -> member alpha_ent ->
+    // its mention chunk text is the context
+    val ans = communityRetrieveAnswer("alpha beta gamma", communities,
+      communityEmbeddings, hasParent, inCommunity, resolvesTo, mentions,
+      chunks, FakeLlm, embed, communityLevel = 1, topK = 1)
+    // the map step answered over the c1 context; retrieved = candidate answers
+    assert(ans.retrieved.sizeIs == 1 && ans.retrieved.head.startsWith("ans-"))
+    assert(ans.response.startsWith("ANSWER["))
+    // level-2 seed descends HAS_PARENT to BOTH level-1 children's contexts,
+    // and topK=2 keeps two scored candidates sorted by quality desc
+    val l2 = communityRetrieveAnswer("alpha beta gamma", communities,
+      communityEmbeddings, hasParent, inCommunity, resolvesTo, mentions,
+      chunks, FakeLlm, embed, communityLevel = 2, topK = 2)
+    assert(l2.retrieved.sizeIs == 1) // one seed community -> one context -> one candidate
+    // expand path with threshold: start set over level-1 community embeddings
+    val exp = communityRetrieveAnswer("alpha beta gamma", communities,
+      communityEmbeddings, hasParent, inCommunity, resolvesTo, mentions,
+      chunks, FakeLlm, embed, communityLevel = 1, topK = 2,
+      similarityThreshold = 0.5, expand = true)
+    assert(exp.retrieved.nonEmpty)
+  }
+
+  test("siblingRetrieveAnswer: window contents in chain order, sibling combine separator") {
+    val chunkEmbeddings = Seq(
+      ("d1_chunk_0", embed("alpha beta gamma")),
+      ("d1_chunk_1", embed("beta delta")),
+      ("d2_chunk_0", embed("zeta eta theta"))).toDF("chunk_id", "embedding")
+    // seed d1_chunk_1; window [-1,+1] gathers chunk 0 and 1 in chain order
+    val ans = siblingRetrieveAnswer("beta delta", chunks, chunkEmbeddings,
+      FakeLlm, embed, topK = 1, lookback = 1, lookahead = 1)
+    assert(ans.retrieved == Seq("alpha beta gamma\nbeta delta"))
+    // two seeds + combine: reference's sibling separator is "\n " (py:72)
+    val comb = siblingRetrieveAnswer("beta delta", chunks, chunkEmbeddings,
+      FakeLlm, embed, topK = 2, lookback = 0, lookahead = 0, combine = true)
+    assert(comb.retrieved.sizeIs == 1 && comb.retrieved.head.contains("\n "))
+  }
+
+  test("entityRelationshipRetrieveAnswer: extracts seeds from the question itself") {
+    val entities = Seq("alpha_ent", "beta_ent").toDF("entity_id")
+    val mentions = Seq(("d1_chunk_0", "alpha_ent")).toDF("chunk_id", "entity_id")
+    val triples = Seq(("alpha_ent", "WORKS_AT", "beta_ent", "d1_chunk_1"))
+      .toDF("subj", "pred", "obj", "chunk_id")
+    // the fake extractor returns alpha ent + "works at": normalization gives
+    // entity id alpha_ent (mention chunk 0 touched directly) and relation
+    // WORKS_AT (provenance chunk 1 touched directly)
+    val ans = entityRelationshipRetrieveAnswer("who works at alpha?", entities,
+      mentions, chunks, triples, FakeLlm, topK = 5)
+    assert(ans.retrieved.sizeIs == 2) // d1's chunks 0 (mention) and 1 (provenance)
+    assert(ans.response.startsWith("ANSWER["))
   }
 }
