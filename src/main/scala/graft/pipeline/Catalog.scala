@@ -52,9 +52,41 @@ final class Catalog(val root: String, val spark: SparkSession) {
   }
 
   def read(table: String): DataFrame = {
+    if (!exists(table)) recover(table) // crashed mid-swap? roll forward/back
     val df = spark.read.parquet(path(table))
     // bucketed tables carry their layout column; consumers see logical rows
     if (df.columns.contains("_bucket")) df.drop("_bucket") else df
+  }
+
+  /** Crash recovery for the stage-then-swap protocol: a crash between the
+    * two renames in [[promoteStaging]] leaves the live dir missing while the
+    * data sits COMPLETE in `<table>._staging` (the write finished — it has
+    * `_SUCCESS`) and/or `<table>._old`. Roll FORWARD to the staged table
+    * when it is complete (the swap had committed logically), otherwise roll
+    * BACK to the old table. Idempotent; no-op when the live dir exists.
+    * Returns true if a recovery action was taken.
+    */
+  def recover(table: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    val staging = new org.apache.hadoop.fs.Path(path(s"$table._staging"))
+    val aside = new org.apache.hadoop.fs.Path(path(s"$table._old"))
+    def complete(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (complete(dst)) {
+      // swap finished; at most the aside cleanup was lost
+      if (fs.exists(aside)) fs.delete(aside, true)
+      false
+    } else if (complete(staging)) {
+      require(fs.rename(staging, dst), s"recover($table): failed to promote staging")
+      fs.delete(aside, true)
+      true
+    } else if (complete(aside)) {
+      require(fs.rename(aside, dst), s"recover($table): failed to restore old table")
+      fs.delete(staging, true)
+      true
+    } else false
   }
 
   /** S5 — batched MERGE-by-PK upsert, the row-level analogue of the

@@ -124,4 +124,32 @@ class CatalogMergeSpec extends AnyFunSuite {
     val m = cat.read("t").as[(String, Seq[String])].collect().toMap
     assert(m == Map("e1" -> Seq("a"), "e2" -> Seq("b", "b2"), "e3" -> Seq("c")))
   }
+
+  test("recover rolls forward a crash between the swap renames, and rolls back a lost staging") {
+    import org.apache.hadoop.fs.Path
+    val cat = freshCatalog()
+    val fs = new Path(cat.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("e1", 1)).toDF("id", "v").write.parquet(cat.path("t"))
+
+    // crash window: live moved aside, COMPLETE staging not yet promoted
+    Seq(("e1", 2)).toDF("id", "v").write.parquet(cat.path("t._staging"))
+    assert(fs.rename(new Path(cat.path("t")), new Path(cat.path("t._old"))))
+    assert(!cat.exists("t"))
+    // read() recovers by rolling FORWARD to the staged (new) table
+    assert(cat.read("t").as[(String, Int)].collect().toSeq == Seq(("e1", 2)))
+    assert(!fs.exists(new Path(cat.path("t._old"))))
+    assert(!fs.exists(new Path(cat.path("t._staging"))))
+
+    // crash window: live moved aside, staging incomplete/absent -> roll BACK
+    assert(fs.rename(new Path(cat.path("t")), new Path(cat.path("t._old"))))
+    fs.mkdirs(new Path(cat.path("t._staging"))) // torn write: no _SUCCESS
+    assert(cat.recover("t"))
+    assert(cat.read("t").as[(String, Int)].collect().toSeq == Seq(("e1", 2)))
+    assert(!fs.exists(new Path(cat.path("t._staging"))))
+
+    // healthy table: recover is a no-op that only clears a leftover aside
+    fs.mkdirs(new Path(cat.path("t._old")))
+    assert(!cat.recover("t"))
+    assert(!fs.exists(new Path(cat.path("t._old"))))
+  }
 }
