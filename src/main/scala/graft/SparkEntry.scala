@@ -1214,6 +1214,23 @@ object SparkEntry {
         topKSeeds = 3, numHops = 2, numSeenMin = 1)
     }),
 
+    // real-codec multimodal path: synthesized genuine BMP/WAV payloads ->
+    // pure-JVM decode -> pixel/sample features; per-format decode rate and
+    // integer-stable feature aggregates pinned by a constant oracle (mp4
+    // rows must show decoded=0: the stub fallback is observable, not
+    // silent).
+    "q_media_codec" -> ((s, d) => {
+      import s.implicits._
+      val media = operators.Multimodal.synthEncoded(s, 300)
+      operators.Multimodal.extractFeaturesDecoded(media, 16).toDF()
+        .groupBy($"format")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"decoded", 1L).otherwise(0L)).as("n_decoded"),
+          sum($"n_bytes").as("sum_bytes"),
+          sum(round(element_at($"features", 1) * 100).cast("long")).as("f0_sum"))
+        .orderBy($"format")
+    }),
+
     // Q7 — the retriever DRIVER layer end-to-end over the pinned corpus:
     // five (driver, mode) configurations through RetrieverDriver with the
     // canned DriverLlm + the pipeline embedder. The response column is a
@@ -2317,6 +2334,15 @@ object SparkEntry {
     // prompt, so these witness expansion/keywords/HyDE -> start set ->
     // search -> context -> prompt cell-for-cell). Captured from independent
     // runs with identical rows.
+    // real-codec decode rates + integer-stable feature aggregates, captured
+    // from two identical independent runs
+    "q_media_codec" ->
+      """SELECT * FROM (VALUES
+          ('bmp', 100::BIGINT, 100::BIGINT, 129156::BIGINT, 1082671::BIGINT),
+          ('mp4', 100::BIGINT, 0::BIGINT, 177245::BIGINT, 1334::BIGINT),
+          ('wav', 100::BIGINT, 100::BIGINT, 246016::BIGINT, 2600::BIGINT)
+        ) t(format, n, n_decoded, sum_bytes, f0_sum) ORDER BY format""",
+
     "kg_retriever_driver" ->
       """SELECT * FROM (VALUES
           ('community', 'scored', 2::BIGINT, 26::BIGINT, 'ANSWER:6f1ef068'),

@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample operators run as per-partition
   * batch functions over those bytes.
   *
-  * The DECODERS here are deterministic STUBS — this container ships no
-  * image/audio codecs, so `decodeStub` derives a feature vector from the
-  * bytes with a seeded hash. Everything around the stub is the real Spark
-  * surface a production decoder plugs into: the schema, the mapPartitions
-  * batching (one decoder instance per partition, exactly like the
-  * extraction stage's pooled model clients), the size-aware repartitioning,
-  * and the metadata pushdown (filters on `meta.*` prune at the parquet scan
-  * because the struct columns are stored columnar).
+  * Decoding: uncompressed self-describing formats (24-bpp BMP, PCM16 WAV)
+  * are decoded FOR REAL by the pure-JVM [[MultimodalCodecs]] —
+  * [[extractFeaturesDecoded]] routes them to genuine pixel/sample feature
+  * extraction with an observable fallback flag. Compressed formats
+  * (png/jpeg/mp4) stay behind the deterministic `decodeStub` (this
+  * container ships no codec libraries); everything around the stub is the
+  * real Spark surface a production decoder plugs into: the schema, the
+  * mapPartitions batching (one decoder instance per partition, exactly
+  * like the extraction stage's pooled model clients), the size-aware
+  * repartitioning, and the metadata pushdown (filters on `meta.*` prune at
+  * the parquet scan because the struct columns are stored columnar).
   *
   * Scale notes: payload rows are orders of magnitude wider than text rows —
   * partition by target BYTES not row count ([[repartitionBySize]]), keep
@@ -150,5 +153,80 @@ object Multimodal {
       media.where(col("modality") === "image" &&
         col("width") >= minW && col("height") >= minH).as[MediaRow],
       dim)
+  }
+
+  // ------------------------------------------- real-codec path (bmp/wav)
+
+  final case class DecodedFeatures(
+      media_id: String,
+      modality: String,
+      format: String,
+      n_bytes: Long,
+      decoded: Boolean, // false = stub fallback (compressed/corrupt payload)
+      features: Array[Float])
+
+  /** Deterministic media table whose image/audio payloads are REAL encoded
+    * files (24-bpp BMP gradients, PCM16 WAV tones) the pure-JVM codecs can
+    * decode; video rows keep opaque bytes (no JVM-only container codec).
+    */
+  def synthEncoded(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    import MultimodalCodecs._
+    spark.range(n).map { i =>
+      val rng = new scala.util.Random(seed * 2654435761L + i)
+      (i % 3) match {
+        case 0 =>
+          val w = 8 + rng.nextInt(25) // odd widths exercise row padding
+          val h = 8 + rng.nextInt(25)
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) { // gradient + seeded phase: every image distinct
+            rgb(p * 3) = ((p + rng.nextInt(7)) % 256).toByte
+            rgb(p * 3 + 1) = ((p * 2) % 256).toByte
+            rgb(p * 3 + 2) = ((255 - p) % 256).toByte
+            p += 1
+          }
+          val payload = encodeBmp(BmpImage(w, h, rgb))
+          MediaRow(f"media_$i%06d", "image", payload, w, h, 0, 0L, "bmp")
+        case 1 =>
+          val rate = 8000
+          val ms = 50L + rng.nextInt(200)
+          val freq = 100 + rng.nextInt(900)
+          val samples = Array.tabulate((rate * ms / 1000).toInt) { t =>
+            (math.sin(2 * math.Pi * freq * t / rate) * 12000).toShort
+          }
+          val payload = encodeWav(WavAudio(rate, 1, samples))
+          MediaRow(f"media_$i%06d", "audio", payload, 0, 0, rate, ms, "wav")
+        case _ =>
+          val payload = new Array[Byte](512 + rng.nextInt(2048))
+          rng.nextBytes(payload)
+          MediaRow(f"media_$i%06d", "video", payload, 320, 240,
+            0, 1000L + rng.nextInt(60000), "mp4")
+      }
+    }
+  }
+
+  /** Feature extraction with REAL decoding where the JVM can do it: bmp →
+    * [[MultimodalCodecs.decodeBmp]] + color/luma features, wav →
+    * [[MultimodalCodecs.decodeWav]] + rms/zcr/energy features; all other
+    * formats (and corrupt payloads) fall back to the hash stub with
+    * `decoded = false` so the fallback RATE is observable, never silent.
+    * Same mapPartitions batch shape as [[extractFeatures]].
+    */
+  def extractFeaturesDecoded(media: Dataset[MediaRow], dim: Int = 64): Dataset[DecodedFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    import MultimodalCodecs._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val real: Option[Array[Float]] = m.format match {
+          case "bmp" => decodeBmp(m.payload).map(bmpFeatures(_, dim))
+          case "wav" => decodeWav(m.payload).map(wavFeatures(_, dim))
+          case _ => None
+        }
+        DecodedFeatures(m.media_id, m.modality, m.format, m.payload.length.toLong,
+          real.isDefined, real.getOrElse(decodeStub(m.payload, dim)))
+      }
+    }
   }
 }
