@@ -131,30 +131,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = p.shingleW; val bands = p.bands
-    val rpb = p.rowsPerBand
-    val salts = minhashSeeds(p.numPerm, p.seed) // once, driver-side
-
-    val base = df.select(col(idCol).cast("string").as("id"), col(textCol).as("t"))
-      .as[(String, String)]
-
-    // band rows carry ONLY (id, band, band_sig) — the full shingle arrays
-    // never enter the bucket shuffle (they rode through the band join and
-    // pair dedup in r1, multiplying shuffle bytes by the document size)
-    val bandRows = base.mapPartitions { it =>
-      it.flatMap { case (id, text) =>
-        val sig = minhashSig(shingles(text, w), salts)
-        (0 until bands).iterator.map { b =>
-          var h = MurmurHash3.arraySeed
-          var j = b * rpb
-          val end = j + rpb
-          while (j < end) { h = MurmurHash3.mix(h, (sig(j) ^ (sig(j) >>> 32)).toInt); j += 1 }
-          (id, b, MurmurHash3.finalizeHash(h, rpb))
-        }
-      }
-    }.toDF("id", "band", "band_sig")
-
-    val pruned = bandRows
+    val pruned = minhashBandRows(df, p, textCol, idCol)
       .withColumn("bn", count(lit(1)).over(Window.partitionBy($"band", $"band_sig")))
       .where($"bn" <= p.maxBucket)
 
@@ -164,14 +141,60 @@ object Dedup {
       .where($"a" < $"b")
       .select($"a", $"b")
       .dropDuplicates("a", "b")
+    verifyJaccard(cands, df, p, textCol, idCol)
+  }
 
-    // exact-Jaccard verify: re-derive the shingle sets (cheap murmur pass, no
-    // minhash) and join them to the deduped candidates only — AQE broadcasts
-    // the candidate side when small, so the shingle arrays never shuffle
-    val shingleSets = base.mapPartitions { it =>
-      it.map { case (id, text) => (id, shingles(text, w).distinct) }
-    }.toDF("id", "sh")
+  /** The banding half of [[minhashPairs]]: (id, band, band_sig) rows — also
+    * the PERSISTABLE blocking index of a standing corpus (an incremental
+    * ingest signs only the new batch and joins its band rows against the
+    * stored ones, O(batch) work, never re-signing history).
+    */
+  def minhashBandRows(df: DataFrame, p: MinHashParams = MinHashParams(),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = p.shingleW; val bands = p.bands
+    val rpb = p.rowsPerBand
+    val salts = minhashSeeds(p.numPerm, p.seed) // once, driver-side
+    // band rows carry ONLY (id, band, band_sig) — the full shingle arrays
+    // never enter the bucket shuffle (they rode through the band join and
+    // pair dedup in r1, multiplying shuffle bytes by the document size)
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("t"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sig = minhashSig(shingles(text, w), salts)
+          (0 until bands).iterator.map { b =>
+            var h = MurmurHash3.arraySeed
+            var j = b * rpb
+            val end = j + rpb
+            while (j < end) { h = MurmurHash3.mix(h, (sig(j) ^ (sig(j) >>> 32)).toInt); j += 1 }
+            (id, b, MurmurHash3.finalizeHash(h, rpb))
+          }
+        }
+      }.toDF("id", "band", "band_sig")
+  }
 
+  /** The verify half of [[minhashPairs]]: exact-Jaccard re-check of
+    * candidate (a, b) pairs. Re-derives the shingle sets (cheap murmur
+    * pass, no minhash) and joins them to the deduped candidates only — AQE
+    * broadcasts the candidate side when small, so the shingle arrays never
+    * shuffle. `docs` must cover every id appearing in `cands` (for a
+    * cross-corpus check pass the union of the batch and the semi-joined
+    * history slice — O(candidates), not O(history)).
+    */
+  def verifyJaccard(cands: DataFrame, docs: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = p.shingleW
+    val shingleSets = docs
+      .select(col(idCol).cast("string").as("id"), col(textCol).as("t"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) => (id, shingles(text, w).distinct) }
+      }.toDF("id", "sh")
     cands
       .join(shingleSets.select($"id".as("a"), $"sh".as("sh_a")), "a")
       .join(shingleSets.select($"id".as("b"), $"sh".as("sh_b")), "b")

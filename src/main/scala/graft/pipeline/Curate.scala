@@ -178,9 +178,13 @@ object Curate {
         .select(col("entity_id").as("doc_id"), col("component_id").as("cluster_id"))
       val decision = Dedup.canonicalDocs(docs, clusters,
         TextStats.tokenCountCol(col("text")))
-      c.writeCounted("cur_near_dedup",
-        docs.join(decision.where(col("kept")).select(col("doc_id")), "doc_id")
-          .select(col("doc_id"), col("lang"), col("text")))
+      val kept = docs.join(decision.where(col("kept")).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint(true)
+      // persisted blocking index of the SURVIVORS — incremental ingests sign
+      // only their batch and probe these band rows (runIncremental)
+      c.writeCounted("cur_lsh_sigs", Dedup.minhashBandRows(kept,
+        Dedup.MinHashParams(jaccardThreshold = cfg.jaccard)))
+      c.writeCounted("cur_near_dedup", kept)
     }
 
     // the held-out eval slice leaves the corpus entirely; any surviving
@@ -190,31 +194,203 @@ object Curate {
       val isEval = Curation.hashBucketCol(col("doc_id"), cfg.evalMod) === 0
       val train = docs.where(!isEval)
       val bench = docs.where(isEval)
+      // the standing held-out corpus — incremental batches append their
+      // eval slice here and decontaminate their train slice against ALL of it
+      c.writeCounted("cur_bench", bench)
       val hits = Curation.decontaminate(train, bench, n = cfg.decontamN)
       c.writeCounted("cur_decontam",
         train.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("text")))
     }
 
-    stage("cur_mixture") { c =>
-      val docs = c.read("cur_decontam")
-      val target = docs.count() * cfg.targetPct / 100
-      val rates = Curation.temperatureRates(docs, "lang", target)
-      c.writeCounted("cur_rates", rates)
-      c.writeCounted("cur_mixture",
-        Curation.temperatureSample(docs, rates, "lang", "doc_id")
+    stage("cur_mixture")(c => buildMixture(c, cfg))
+    stage("cur_packs")(c => buildPacks(c, cfg))
+    stage("cur_final")(c => c.writeCounted("cur_final", c.read("cur_mixture")))
+
+    Result(cat, results.result())
+  }
+
+  private def buildMixture(c: Catalog, cfg: Config): Long = {
+    val docs = c.read("cur_decontam")
+    val target = docs.count() * cfg.targetPct / 100
+    val rates = Curation.temperatureRates(docs, "lang", target)
+    c.writeCounted("cur_rates", rates)
+    c.writeCounted("cur_mixture",
+      Curation.temperatureSample(docs, rates, "lang", "doc_id")
+        .select(col("doc_id"), col("lang"), col("text")))
+  }
+
+  private def buildPacks(c: Catalog, cfg: Config): Long =
+    c.writeCounted("cur_packs",
+      Curation.packContiguous(c.read("cur_mixture"), "lang", "doc_id", "text",
+        cfg.packBudgetTokens))
+
+  /** Incremental curation ingest — the standing-corpus operating mode: a
+    * new crawl batch lands, is deduplicated against the WHOLE history
+    * without rescanning it, and the survivors append to the standing
+    * tables. The expensive gates are all O(batch):
+    *
+    *   - url / doc_id dirty gate: anti-join on the standing url_norm/id
+    *     columns (at warehouse scale: a persisted Bloom over url_norm —
+    *     same one-sided-error trade [[graft.operators.Dedup.bloomNewDocs]]
+    *     documents);
+    *   - exact content dedup vs history: `bloomNewDocs` — one filter built
+    *     per ingest from the standing table, map-only probe of the batch;
+    *   - near-dup vs history: the batch is SIGNED and its band rows join
+    *     the persisted `cur_lsh_sigs` blocking index (bounded buckets);
+    *     exact-Jaccard verify touches only the candidates' history texts
+    *     (semi-join), never the corpus;
+    *   - decontamination: the batch's eval slice appends to the standing
+    *     `cur_bench`; the batch's train slice checks against ALL standing
+    *     bench grams (bench grams broadcast).
+    *
+    * Survivor policy is HISTORY-WINS: an already-admitted document is never
+    * retracted by a later batch (a shipped training corpus is append-only),
+    * so a new duplicate always drops even when the full-run tiebreak would
+    * have preferred it. Two documented eventual-consistency gaps, both
+    * closed by a periodic full re-run exactly like the reference's re-scan
+    * loop: cross-EPOCH boilerplate lines (line dedup sees one batch at a
+    * time) and contamination of OLD train docs by NEW eval docs. The
+    * mixture/packs tail is regenerated globally each ingest — those are
+    * cheap derived artifacts (one narrow resample + one pack pass), not
+    * dedup state.
+    */
+  def runIncremental(spark: SparkSession, cfg: Config, newPages: DataFrame): Result = {
+    val cat = new Catalog(cfg.outDir, spark)
+    require(cat.exists("cur_docs"), "runIncremental needs a prior full run")
+    val results = Vector.newBuilder[StageResult]
+    var upstream = sha(s"${cfg.fingerprintBase}|incremental|${cfg.runId}")
+
+    def stage(name: String)(build: Catalog => Long): Unit = {
+      upstream = sha(s"$upstream/$name")
+      results += Catalog.stage(cat, cfg.runId, name, upstream, cfg.resume,
+        tableName = name.stripPrefix("incr_"))(build(cat))
+    }
+
+    val p = Dedup.MinHashParams(jaccardThreshold = cfg.jaccard)
+
+    stage("incr_cur_docs") { c =>
+      val batch = newPages
+        .select(lower(col("url")).as("doc_id"), col("url"), col("lang"), col("text"))
+      // dirty gate: a re-crawl of an already-ingested id is a no-op
+      val fresh = batch.join(c.read("cur_docs").select(col("doc_id")),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      c.write("incr_batch", fresh)
+      c.appendCounted("cur_docs", fresh)
+    }
+
+    stage("incr_cur_url_dedup") { c =>
+      val batch = c.read("incr_batch")
+        .withColumn("url_norm", WebCuration.normalizeUrlCol(col("url")))
+      // history-wins vs the standing url index, then min-id within batch
+      val noHist = batch.join(
+        c.read("cur_url_dedup").select(col("url_norm")), Seq("url_norm"), "left_anti")
+      val w = Window.partitionBy(col("url_norm")).orderBy(col("doc_id"))
+      c.appendCounted("cur_url_dedup",
+        noHist.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("doc_id"), col("url_norm"), col("lang"), col("text")))
+    }
+
+    stage("incr_cur_pii") { c =>
+      val delta = c.read("cur_url_dedup")
+        .join(c.read("incr_batch").select(col("doc_id")), Seq("doc_id"), "left_semi")
+      c.appendCounted("cur_pii",
+        WebCuration.redactPii(delta)
+          .join(delta.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_emails"), col("n_phones"),
+            col("n_ips"), col("text_redacted").as("text")))
+    }
+
+    stage("incr_cur_exact_dedup") { c =>
+      val delta = c.read("cur_pii")
+        .join(c.read("incr_batch").select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text"))
+      // map-only Bloom probe against the unbounded history, then exact
+      // within-batch dedup
+      val noHist = Dedup.bloomNewDocs(c.read("cur_exact_dedup"), delta)
+        .select(col("doc_id"), col("lang"), col("text"))
+      c.appendCounted("cur_exact_dedup", Dedup.exactDedup(noHist)
+        .select(col("doc_id"), col("lang"), col("text")))
+    }
+
+    stage("incr_cur_line_dedup") { c =>
+      val delta = c.read("cur_exact_dedup")
+        .join(c.read("incr_batch").select(col("doc_id")), Seq("doc_id"), "left_semi")
+      c.appendCounted("cur_line_dedup",
+        Curation.dedupLines(delta, maxDupDocs = cfg.lineDedupMaxDocs)
+          .where(col("n_lines_kept") > 0)
+          .join(delta.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("text_clean").as("text")))
+    }
+
+    stage("incr_cur_quality") { c =>
+      val delta = c.read("cur_line_dedup")
+        .join(c.read("incr_batch").select(col("doc_id")), Seq("doc_id"), "left_semi")
+      c.appendCounted("cur_quality",
+        TextStats.qualityMetrics(delta, minTokens = cfg.minTokens)
+          .where(col("quality_ok"))
           .select(col("doc_id"), col("lang"), col("text")))
     }
 
-    stage("cur_packs") { c =>
-      c.writeCounted("cur_packs",
-        Curation.packContiguous(c.read("cur_mixture"), "lang", "doc_id", "text",
-          cfg.packBudgetTokens))
+    stage("incr_cur_near_dedup") { c =>
+      val delta = c.read("cur_quality")
+        .join(c.read("incr_batch").select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint(true)
+      val batchBands = Dedup.minhashBandRows(delta, p).localCheckpoint(true)
+      // cross candidates: batch band rows probe the persisted index
+      val histBands = c.read("cur_lsh_sigs")
+      // flood guard that stays O(batch): at most maxBucket history partners
+      // per batch doc (a boilerplate band_sig shared by the whole history
+      // must not turn one ingest row into a history-sized verify)
+      val wCand = Window.partitionBy(col("a")).orderBy(col("b"))
+      val crossCands = batchBands
+        .join(histBands.withColumnRenamed("id", "b"), Seq("band", "band_sig"))
+        .select(col("id").as("a"), col("b")).dropDuplicates("a", "b")
+        .withColumn("rn", row_number().over(wCand)).where(col("rn") <= p.maxBucket)
+        .drop("rn")
+      // verify needs texts for (batch ∪ matched-history) ids only
+      val histDocs = c.read("cur_near_dedup")
+        .join(crossCands.select(col("b").as("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val crossDups = Dedup.verifyJaccard(crossCands,
+          delta.unionByName(histDocs), p)
+        .select(col("a").as("doc_id")).distinct() // history wins: batch copy drops
+      val noHist = delta.join(crossDups, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      // within-batch near-dup: the full pair->CC->survivor pass on the rest
+      val pairs = Dedup.minhashPairs(noHist, p).localCheckpoint(true)
+      val ids = pairs.select(col("a").as("entity_id"))
+        .unionByName(pairs.select(col("b").as("entity_id"))).distinct()
+      val clusters = Resolution.connectedComponents(ids,
+          pairs.select(col("a").as("src"), col("b").as("dst")))
+        .select(col("entity_id").as("doc_id"), col("component_id").as("cluster_id"))
+      val decision = Dedup.canonicalDocs(noHist, clusters,
+        TextStats.tokenCountCol(col("text")))
+      val kept = noHist
+        .join(decision.where(col("kept")).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint(true)
+      // survivors enter the blocking index for the NEXT ingest
+      c.appendCounted("cur_lsh_sigs", Dedup.minhashBandRows(kept, p))
+      c.appendCounted("cur_near_dedup", kept)
     }
 
-    stage("cur_final") { c =>
-      c.writeCounted("cur_final", c.read("cur_mixture"))
+    stage("incr_cur_decontam") { c =>
+      val delta = c.read("cur_near_dedup")
+        .join(c.read("incr_batch").select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val isEval = Curation.hashBucketCol(col("doc_id"), cfg.evalMod) === 0
+      c.appendCounted("cur_bench", delta.where(isEval))
+      val train = delta.where(!isEval).localCheckpoint(true)
+      val hits = Curation.decontaminate(train, c.read("cur_bench"), n = cfg.decontamN)
+      c.appendCounted("cur_decontam",
+        train.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("text")))
     }
+
+    // derived tail regenerated over the updated standing corpus
+    stage("incr_cur_mixture")(c => buildMixture(c, cfg))
+    stage("incr_cur_packs")(c => buildPacks(c, cfg))
+    stage("incr_cur_final")(c => c.writeCounted("cur_final", c.read("cur_mixture")))
 
     Result(cat, results.result())
   }

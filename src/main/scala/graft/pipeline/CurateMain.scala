@@ -9,7 +9,13 @@ import graft.corpus.CorpusSynth
   * Usage (also runnable via `sbt "runMain graft.pipeline.CurateMain ..."`):
   *   graft.pipeline.CurateMain --out DIR [--pages N] [--clusters N]
   *     [--cores N] [--resume] [--run-id ID] [--min-tokens N]
-  *     [--jaccard X] [--target-pct N] [--pack-budget N]
+  *     [--jaccard X] [--target-pct N] [--pack-budget N] [--incremental N]
+  *
+  * `--incremental N` ingests the NEXT N synthesized crawl pages into an
+  * existing `--out` catalog via [[Curate.runIncremental]] — every dedup
+  * gate probes standing history state (url index, content Bloom, LSH band
+  * index, bench grams) in O(batch); pass the same --pages/--clusters as
+  * the base run.
   *
   * Prints the per-stage funnel (rows, wall ms, skipped) and the final
   * corpus/pack counts — the observable surface of the whole flow.
@@ -43,7 +49,17 @@ object CurateMain {
       packBudgetTokens = opts.getOrElse("pack-budget", "2048").toLong)
 
     val t0 = System.nanoTime()
-    val result = Curate.run(spark, cfg)
+    val result = opts.get("incremental").map(_.toInt) match {
+      case Some(n) =>
+        val batch = CorpusSynth
+          .pagesRange(spark, cfg.corpus.copy(nPages = pages + n), pages, pages + n)
+          .select(org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("text"))
+        Curate.runIncremental(spark,
+          cfg.copy(runId = s"${cfg.runId}-incr$n"), batch)
+      case None => Curate.run(spark, cfg)
+    }
     val wall = (System.nanoTime() - t0) / 1e9
 
     println(s"stage summary (run=${cfg.runId} pages=$pages clusters=$clusters):")

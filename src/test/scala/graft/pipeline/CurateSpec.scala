@@ -58,4 +58,66 @@ class CurateSpec extends AnyFunSuite {
       s"non-skipped: ${second.stages.filterNot(_.skipped).map(_.stage)}")
     assert(second.finalDocs.collect().map(_.toString).sorted.toSeq == firstDocs)
   }
+
+  test("incremental ingest: history-blocked dedup gates, append-only survivors, replay no-op") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-curate-incr").toString
+    val base = cfg(out)
+    Curate.run(spark, base)
+    val cat = new Catalog(out, spark)
+    val baseKept = cat.read("cur_near_dedup").count()
+    val baseDocs = cat.read("cur_docs").count()
+
+    // a surviving history doc to clone dirt from (post-funnel text so the
+    // exact-dedup digest and near-dup shingles genuinely match history)
+    val donor = cat.read("cur_near_dedup").orderBy(col("doc_id")).limit(1)
+      .collect()(0)
+    val donorId = donor.getString(0); val donorText = donor.getString(2)
+    // the URL gate matches on canonicalized ORIGINAL urls (case preserved)
+    val donorUrl = cat.read("cur_docs").where(col("doc_id") === donorId)
+      .select(col("url")).collect()(0).getString(0)
+    // the exact gate hashes PRE-line-dedup history texts (cur_exact_dedup)
+    val donorExactText = cat.read("cur_exact_dedup")
+      .where(col("doc_id") === donorId).select(col("text"))
+      .collect()(0).getString(0)
+
+    // batch: 40 genuinely new pages + four planted history collisions
+    val union = base.corpus.copy(nPages = 340)
+    val freshPages = CorpusSynth.pagesRange(spark, union, 300, 340)
+      .select(col("url"), col("lang"), col("text"))
+    import spark.implicits._
+    val dirt = Seq(
+      (donorId, "en", donorText), // re-crawl of an ingested id -> dirty gate
+      (donorUrl + "?utm_source=feed", "en", donorText), // url variant -> url gate
+      ("https://mirror2.example.org/copy", "en", donorExactText), // exact -> Bloom gate
+      ("https://near2.example.org/copy", "en",
+        donorText + " archived snapshot trailing words")) // near-dup -> LSH gate
+      .toDF("url", "lang", "text")
+    val batch = freshPages.unionByName(dirt)
+
+    val incr = Curate.runIncremental(spark, base.copy(runId = "incr1"), batch)
+    val rows = incr.stages.map(s => s.stage -> s.rows).toMap
+    assert(rows("incr_cur_docs") == 43L, s"dirty gate: $rows") // 44 - recrawl
+    assert(rows("incr_cur_url_dedup") == 42L) // - utm variant
+    assert(rows("incr_cur_exact_dedup") == 41L) // - exact mirror (Bloom)
+    assert(rows("incr_cur_near_dedup") == 40L) // - near-dup (history LSH probe)
+
+    // history never retracted, survivors appended exactly once
+    val keptNow = cat.read("cur_near_dedup")
+    assert(keptNow.count() == baseKept + 40L)
+    assert(keptNow.where(col("doc_id") === donorId).count() == 1L)
+    assert(keptNow.where(col("doc_id").contains("near2")).count() == 0L)
+    // the blocking index grew by the survivors' band rows only
+    assert(cat.read("cur_lsh_sigs").select("id").distinct().count() == baseKept + 40L)
+    // decontam appended bench + train splits that cover the 40 survivors
+    assert(rows("incr_cur_decontam") <= 40L)
+    // derived tail regenerated over the union corpus
+    assert(cat.read("cur_final").count() == cat.read("cur_mixture").count())
+
+    // replaying the same batch is a no-op at the dirty gate
+    val again = Curate.runIncremental(spark, base.copy(runId = "incr2"), batch)
+    assert(again.stages.find(_.stage == "incr_cur_docs").get.rows == 0L)
+    assert(cat.read("cur_near_dedup").count() == baseKept + 40L)
+    assert(cat.read("cur_docs").count() == baseDocs + 43L)
+  }
 }
