@@ -783,6 +783,22 @@ object SparkEntry {
           (col("n_exact_new") > 0).as("has_new"))
     }),
 
+    // PK point-lookup through the bucketed catalog layout (C2
+    // StreamDocContent re-expressed, `Scan_For_Updates.gsql` content
+    // fetch): the documents table is materialized hash-bucketed by PK,
+    // then three ids are fetched via Catalog.lookup — bucket-dir pruning +
+    // literal row-group pushdown, never a table scan. Oracle is the plain
+    // SQL point SELECT, so the pruned path must return byte-identical rows
+    "q_pk_lookup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lookup-q").toString
+      val cat = new graft.pipeline.Catalog(dir, s)
+      cat.writeBucketed("docs",
+        t(s, d, "documents").select(col("doc_id"), col("text")), Seq("doc_id"), 32)
+      import s.implicits._
+      cat.lookup("docs", Seq(3L, 57L, 101L).toDF("doc_id"))
+        .select(col("doc_id"), col("text"))
+    }),
+
     // maxHamming=3 is the Manku/Jain/Sarma WWW'07 web-dedup operating point;
     // r1's maxHamming=12 degenerated the pigeonhole blocking (4-bit chunks →
     // near-quadratic candidate join, 59.6s of the bench) and is now rejected
@@ -2395,6 +2411,10 @@ object SparkEntry {
     // guarantee and the fp bound hold at every corpus size
     "q_bloom_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS n_false_neg, true AS fp_ok, true AS has_new",
+
+    // the pruned bucket-layout point read must equal the plain point SELECT
+    "q_pk_lookup" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id IN (3, 57, 101)",
 
     // embedding centroids: same sorted-id left fold (list_reduce's no-init
     // form uses the first element as the accumulator, exactly the engine's

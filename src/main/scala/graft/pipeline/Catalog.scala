@@ -169,10 +169,64 @@ final class Catalog(val root: String, val spark: SparkSession) {
   def bucketCol(pk: Seq[String], nBuckets: Int): Column =
     pmod(xxhash64(pk.map(col): _*), lit(nBuckets)).cast("int")
 
-  /** Write `df` hash-bucketed by PK into `_bucket=N/` partition dirs. */
-  def writeBucketed(table: String, df: DataFrame, pk: Seq[String], nBuckets: Int): Unit =
+  /** The layout marker (`_graft_layout`) pins a bucketed table's (key
+    * columns, bucket count) AT WRITE TIME. Both are load-bearing for every
+    * later O(delta) operation: a merge that recomputes `bucketCol` with a
+    * different `nBuckets` (or key order) files an updated row into a
+    * different `_bucket=` dir than the standing row, silently duplicating
+    * the PK. With the marker, merges/lookups read the recorded layout and
+    * the caller's `nBuckets` is only a first-write default.
+    */
+  private def layoutMarkerPath(table: String) =
+    new org.apache.hadoop.fs.Path(path(table), "_graft_layout")
+
+  private def writeLayoutMarker(table: String, key: Seq[String], nBuckets: Int): Unit = {
+    val p = layoutMarkerPath(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((nBuckets.toString +: key).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Recorded (key columns, bucket count) of a bucketed table; None for flat
+    * tables and pre-marker layouts (callers then fall back to their args).
+    */
+  def bucketLayout(table: String): Option[(Seq[String], Int)] = {
+    val p = layoutMarkerPath(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      Some((lines.tail, lines.head.toInt))
+    }
+  }
+
+  /** Recorded layout when present, else the caller's args; rejects a caller
+    * key-set that contradicts the marker (an nBuckets mismatch is fine — the
+    * marker wins — but merging by different key columns is a logic error).
+    */
+  private def effectiveLayout(table: String, key: Seq[String], nBuckets: Int): (Seq[String], Int) =
+    bucketLayout(table) match {
+      case Some((recKey, recN)) =>
+        require(recKey == key,
+          s"$table is bucketed by ${recKey.mkString(",")} but caller asked for ${key.mkString(",")}")
+        (recKey, recN)
+      case None => (key, nBuckets)
+    }
+
+  /** Write `df` hash-bucketed by PK into `_bucket=N/` partition dirs. Rows
+    * are sorted by (bucket, pk) within write tasks so each parquet file's
+    * row groups carry tight PK min/max stats — [[lookup]]'s point reads then
+    * skip row groups inside the selected bucket, not just other buckets.
+    */
+  def writeBucketed(table: String, df: DataFrame, pk: Seq[String], nBuckets: Int): Unit = {
     assertUniquePk(df, pk).withColumn("_bucket", bucketCol(pk, nBuckets))
+      .sortWithinPartitions(("_bucket" +: pk).map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(path(table))
+    writeLayoutMarker(table, pk, nBuckets)
+  }
 
   /** O(delta) MERGE: only the buckets containing updated PKs are read
     * (partition-pruned scan) and rewritten (dynamic partition overwrite) —
@@ -189,17 +243,19 @@ final class Catalog(val root: String, val spark: SparkSession) {
       nBuckets: Int = 64): Unit = {
     require(pk.nonEmpty, "merge needs at least one PK column")
     if (!exists(table)) { writeBucketed(table, updates, pk, nBuckets); return }
+    val (key, nB) = effectiveLayout(table, pk, nBuckets)
     val curAll = spark.read.parquet(path(table))
     require(curAll.columns.toSet - "_bucket" == updates.columns.toSet,
       s"mergeBucketed($table): updates schema must equal the table schema " +
         s"(table ${curAll.columns.toSet - "_bucket"} vs updates ${updates.columns.toSet})")
-    val withB = updates.withColumn("_bucket", bucketCol(pk, nBuckets))
+    val withB = updates.withColumn("_bucket", bucketCol(key, nB))
     val touched = withB.select("_bucket").distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return // empty delta: nothing to merge
     val cur = curAll.where(col("_bucket").isin(touched.map(Integer.valueOf): _*))
       .drop("_bucket")
     val merged = mergedFrame(cur, updates, pk, setUnionCols, mergeExprs)
-    merged.withColumn("_bucket", bucketCol(pk, nBuckets))
+    merged.withColumn("_bucket", bucketCol(key, nB))
+      .sortWithinPartitions(("_bucket" +: key).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_bucket").parquet(path(table))
@@ -211,9 +267,62 @@ final class Catalog(val root: String, val spark: SparkSession) {
   def writeKeyedCounted(table: String, df: DataFrame, keyCols: Seq[String], nBuckets: Int): Long = {
     val obs = org.apache.spark.sql.Observation()
     df.withColumn("_bucket", bucketCol(keyCols, nBuckets))
+      .sortWithinPartitions(("_bucket" +: keyCols).map(col): _*)
       .observe(obs, count(lit(1)).cast("long").as("rows"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(path(table))
+    writeLayoutMarker(table, keyCols, nBuckets)
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** PK point-lookup over a bucketed table in O(buckets hit) I/O, not
+    * O(table): the requested keys' bucket ids select the `_bucket=N/` dirs
+    * to read (explicit path selection — derived-column filters cannot
+    * partition-prune), and inside each selected bucket the key equi-join
+    * pushes down so sorted row groups ([[writeBucketed]]) are skipped via
+    * parquet min/max stats. This is the reference's `StreamDocContent`
+    * point-fetch (`common/gsql/supportai/Scan_For_Updates.gsql` reads one
+    * vertex's content by PK through TigerGraph's hash index) re-expressed
+    * on a columnar layout: at 10^12 rows × 4096 buckets a k-key lookup
+    * touches ≤ k×(1/4096) of the table's bytes.
+    *
+    * `keys` must carry exactly the table's recorded key columns; extra
+    * columns are ignored. Keys are deduplicated. Multi-row-per-key tables
+    * ([[writeKeyedCounted]]) return every row of each key.
+    */
+  def lookup(table: String, keys: DataFrame, maxLiteralKeys: Int = 10000): DataFrame = {
+    val (key, nB) = bucketLayout(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"lookup($table): no recorded bucket layout — write with writeBucketed/writeKeyedCounted first"))
+    val missing = key.filterNot(keys.columns.contains)
+    require(missing.isEmpty, s"keys frame is missing key columns $missing")
+    val keyRows = keys.select(key.map(col): _*).distinct()
+    // a lookup's key set is small by contract (point reads): collect it,
+    // derive the touched buckets driver-side, and filter with LITERAL
+    // predicates — a semi-join would prune buckets but not row groups
+    // (runtime filters don't reach parquet stats; In/EqualTo literals do)
+    val sample = keyRows.limit(maxLiteralKeys + 1).collect()
+    val literal = sample.length <= maxLiteralKeys
+    val buckets =
+      if (literal) // bucket ids via one tiny local-relation job over the collected keys
+        spark.createDataFrame(java.util.Arrays.asList(sample: _*), keyRows.schema)
+          .select(bucketCol(key, nB).as("_bucket")).distinct()
+          .collect().map(_.getInt(0)).sorted
+      else keyRows.withColumn("_bucket", bucketCol(key, nB))
+        .select("_bucket").distinct().collect().map(_.getInt(0)).sorted
+    val base = new org.apache.hadoop.fs.Path(path(table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = buckets.map(b => new org.apache.hadoop.fs.Path(base, s"_bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty) return read(table).limit(0)
+    val scan = spark.read.option("basePath", path(table)).parquet(dirs: _*)
+    val out =
+      if (literal && key.size == 1)
+        scan.where(col(key.head).isin(sample.toSeq.map(_.get(0)): _*))
+      else if (literal)
+        scan.where(sample.toSeq.map(r =>
+          key.indices.map(i => col(key(i)) === lit(r.get(i))).reduce(_ && _)).reduce(_ || _))
+      else scan.join(broadcast(keyRows), key, "left_semi")
+    out.drop("_bucket")
   }
 
   /** True when the table directory uses the `_bucket=N/` partition layout. */
@@ -247,17 +356,21 @@ final class Catalog(val root: String, val spark: SparkSession) {
       .unionByName(newRows.select(col(keyCol))).distinct()
     if (!exists(table)) {
       newRows.withColumn("_bucket", bucketCol(Seq(keyCol), nBuckets))
+        .sortWithinPartitions(col("_bucket"), col(keyCol))
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(path(table))
+      writeLayoutMarker(table, Seq(keyCol), nBuckets)
       return
     }
     if (isBucketed(table)) {
-      val touched = replacedKeys.withColumn("_bucket", bucketCol(Seq(keyCol), nBuckets))
+      val (key, nB) = effectiveLayout(table, Seq(keyCol), nBuckets)
+      val touched = replacedKeys.withColumn("_bucket", bucketCol(key, nB))
         .select("_bucket").distinct().collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return // empty delta: nothing to replace
       val cur = spark.read.parquet(path(table))
         .where(col("_bucket").isin(touched.map(Integer.valueOf): _*)).drop("_bucket")
       val out = cur.join(replacedKeys, Seq(keyCol), "left_anti").unionByName(newRows)
-      out.withColumn("_bucket", bucketCol(Seq(keyCol), nBuckets))
+      out.withColumn("_bucket", bucketCol(key, nB))
+        .sortWithinPartitions(col("_bucket"), col(keyCol))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_bucket").parquet(path(table))

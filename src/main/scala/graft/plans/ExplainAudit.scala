@@ -171,7 +171,24 @@ object ExplainAudit {
         // must reach the tf aggregate pre-filtered by the broadcast term set
         Seq("BroadcastHashJoin", "partial_count"),
         "query-term/df/stats fan-out never shuffles the corpus",
-        mustNotContain = Seq("CartesianProduct"))
+        mustNotContain = Seq("CartesianProduct")),
+
+      Check("catalog PK lookup: pruned paths + literal In pushdown",
+        s => {
+          import s.implicits._
+          val dir = java.nio.file.Files.createTempDirectory("graft-lookup-audit").toString
+          val cat = new graft.pipeline.Catalog(dir, s)
+          cat.writeBucketed("docs",
+            s.range(0, 2000).select(concat(lit("doc"), col("id")).as("doc_id"),
+              col("id").as("v")), Seq("doc_id"), 64)
+          cat.lookup("docs", Seq("doc3", "doc57").toDF("doc_id"))
+        },
+        // the point read must push an In filter to the parquet scan (row-group
+        // stats skipping inside the selected buckets) and must not join
+        Seq("PushedFilters: [In(doc_id"),
+        "point lookups are path-pruned literal scans, never joins or table scans",
+        mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+          "Exchange hashpartitioning"))
     )
 
     var failures = 0
