@@ -188,6 +188,17 @@ object Pipeline {
     * to the config default) — a mixed html/markdown corpus chunks
     * faithfully. Without the column, one global chunker applies as before.
     */
+  /** Delta-keyed fetch of standing rows: when the table's recorded bucket
+    * layout matches `key`, [[Catalog.lookup]] prunes the read to the buckets
+    * the delta keys hash into (O(delta) I/O); flat / differently-keyed
+    * tables fall back to the full-scan semi-join.
+    */
+  private def fetchByKey(c: Catalog, table: String,
+      keys: org.apache.spark.sql.DataFrame,
+      key: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (c.bucketLayout(table).exists(_._1 == key)) c.lookup(table, keys)
+    else c.read(table).join(keys, key, "left_semi")
+
   private def chunkStage(c: Catalog, cfg: Config, spark: SparkSession,
       deltaDocIds: Option[org.apache.spark.sql.DataFrame]): Dataset[graft.model.Chunk] = {
     import spark.implicits._
@@ -360,7 +371,7 @@ object Pipeline {
     // first description). Everyone else keeps their stored vector.
     stage("incr_embeddings") { c =>
       val changed = c.read("delta_entities")
-      val rows = c.read("entities").join(changed, Seq("entity_id"), "left_semi").as[Entity]
+      val rows = fetchByKey(c, "entities", changed, Seq("entity_id")).as[Entity]
       c.mergeAuto("embeddings", Resolution.embedEntities(rows, cfg.er),
         Seq("entity_id"), nBuckets = cfg.erBuckets)
       changed.count()
@@ -395,7 +406,7 @@ object Pipeline {
         // everything derived from the OLD index is planned (and the delta
         // materialized) BEFORE any table is rewritten
         val oldSigs = c.read("lsh_sigs")
-        val changedEmb = embAll.join(changed, Seq("entity_id"), "left_semi")
+        val changedEmb = fetchByKey(c, "embeddings", changed, Seq("entity_id"))
         val newSigsChanged = Resolution.signatures(changedEmb, p).localCheckpoint(true)
         val sigsUpdated = oldSigs.join(changed, Seq("entity_id"), "left_anti")
           .unionByName(newSigsChanged)
