@@ -134,7 +134,8 @@ object Bench {
       "q_bloom_dedup", "q_temperature_sample", "q_c4_clean",
       "q_substring_dup", "q_vocab_topk", "q_embed_centroids",
       "q_dedup_canonical", "q_bm25", "q_rrf_fusion", "q_lm_ppl_buckets",
-      "q_ccnet_normalize", "q_domain_quota", "q_semdedup", "q_dsir_select")
+      "q_ccnet_normalize", "q_domain_quota", "q_semdedup", "q_dsir_select",
+      "q_shard_assign", "q_shard_manifest")
     val ctimes = curation.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()

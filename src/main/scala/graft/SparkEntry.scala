@@ -612,6 +612,19 @@ object SparkEntry {
       operators.Curation.packContiguous(
         t(s, d, "documents"), "source", "doc_id", "text", budgetTokens = 2048)),
 
+    // deterministic global shuffle into 8 training shards: FNV shard
+    // assignment + within-shard (hash, id) positions — full per-doc oracle
+    "q_shard_assign" -> ((s, d) =>
+      operators.Curation.shuffleShards(
+        t(s, d, "documents"), "doc_id", "text", nShards = 8)),
+
+    // per-shard manifest (counts + order-sensitive xor-of-FNV digest) the
+    // loader checks before trusting a shard — full oracle incl. the digest
+    "q_shard_manifest" -> ((s, d) =>
+      operators.Curation.shardManifest(
+        operators.Curation.shuffleShards(
+          t(s, d, "documents"), "doc_id", "text", nShards = 8), "doc_id")),
+
     // ---- web curation (PII redaction / URL canonicalization) ----
 
     // PII scrub over documents with deterministically planted emails /
@@ -1978,6 +1991,73 @@ object SparkEntry {
         SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM c GROUP BY source, pack_id""",
+
+    // shard shuffle: exact FNV-1a(doc_id ':s0') fold replica (HUGEINT
+    // wrap-mul, signed reinterpret), positive mod 8, within-shard
+    // (hash, id) row_number — the full per-doc assignment is hash-compared
+    "q_shard_assign" ->
+      """WITH h AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(range(1, length(doc_id || ':s0') + 1),
+                  i -> unicode(substr(doc_id || ':s0', i, 1))::HUGEINT)),
+              (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_tokens,
+            CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h64
+          FROM h)
+        SELECT doc_id,
+          CAST(((h64 % 8) + 8) % 8 AS BIGINT) AS shard_id,
+          CAST(row_number() OVER (PARTITION BY ((h64 % 8) + 8) % 8
+                                  ORDER BY h64, doc_id) AS BIGINT) AS pos,
+          n_tokens
+        FROM s""",
+
+    // manifest: same assignment CTE folded per shard; the digest is
+    // bit_xor over FNV-1a(pos ':' doc_id) — order-sensitive via pos
+    "q_shard_manifest" ->
+      """WITH h AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(range(1, length(doc_id || ':s0') + 1),
+                  i -> unicode(substr(doc_id || ':s0', i, 1))::HUGEINT)),
+              (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS hu
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_tokens,
+            CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h64
+          FROM h),
+        a AS (
+          SELECT doc_id, n_tokens,
+            CAST(((h64 % 8) + 8) % 8 AS BIGINT) AS shard_id,
+            CAST(row_number() OVER (PARTITION BY ((h64 % 8) + 8) % 8
+                                    ORDER BY h64, doc_id) AS BIGINT) AS pos
+          FROM s),
+        t AS (
+          SELECT shard_id, n_tokens,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(range(1, length(pos || ':' || doc_id) + 1),
+                  i -> unicode(substr(pos || ':' || doc_id, i, 1))::HUGEINT)),
+              (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS tu
+          FROM a)
+        SELECT shard_id, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          bit_xor(CAST(tu - CASE WHEN tu >= 9223372036854775808::HUGEINT
+               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)) AS digest
+        FROM t GROUP BY shard_id""",
 
     // PII scrub: byte-identical planted input (pure string arithmetic on
     // doc_id) + the same RE2∩Java regexes, counts on the original text,

@@ -328,6 +328,49 @@ object Curation {
         sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Deterministic global shuffle into training shards — the materialization
+    * step between a curated corpus and a training data loader. Every doc is
+    * assigned shard = FNV-1a(doc_id ":" seed) mod nShards and a position
+    * within its shard ordered by (hash, doc_id): a reproducible random
+    * permutation (re-running yields byte-identical shards; changing `seed`
+    * yields an independent one) with no global sort — assignment is a narrow
+    * codegen'd column and the position window is partitioned by shard, so
+    * the work parallelizes across shards (at 100 TB pick nShards large
+    * enough that one shard fits an executor: 100k shards ≈ 1 GB each).
+    * Emits (doc_id, shard_id, pos, n_tokens); write with
+    * `partitionBy("shard_id")` + sortWithinPartitions(pos) for one
+    * sequentially-readable file per shard.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, seed: String = "s0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = TextStats.fingerprintUdf(concat(col(idCol), lit(":"), lit(seed)))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), col(textCol))
+      .withColumn("h", h)
+      .withColumn("shard_id", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n_tokens", TextStats.tokenCountCol(col(textCol)))
+      .select(col(idCol), col("shard_id"), col("pos"), col("n_tokens"))
+  }
+
+  /** Per-shard manifest over a [[shuffleShards]] assignment: doc/token
+    * counts plus an order-sensitive content digest (bit_xor of
+    * FNV-1a(pos ":" doc_id) — xor is order-free, but pos bakes the order
+    * into each term, so any reorder, drop, or duplicate flips the digest).
+    * One partial-agg shuffle keyed by shard; the manifest is what a loader
+    * checks before trusting a shard and what an incremental rebuild diffs.
+    */
+  def shardManifest(shards: DataFrame, idCol: String): DataFrame =
+    shards
+      .withColumn("term",
+        TextStats.fingerprintUdf(concat(col("pos"), lit(":"), col(idCol))))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("bit_xor(term)").as("digest"))
+
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
     * raw document by its importance weight under hashed-n-gram bag models of
     * a TARGET corpus vs the RAW corpus, and keep the top `selectK`. The

@@ -206,4 +206,51 @@ class CurationSamplingSpec extends AnyFunSuite {
       .select($"doc_id", $"rank").as[(Long, Option[Long])].collect().toMap
     assert(re == out.map(r => r._1 -> r._3).toMap, "rank survives repartitioning")
   }
+
+  test("shuffleShards: total permutation, deterministic, seed-sensitive, partition-invariant") {
+    val df = (0L until 200L).map(i => (i, s"tok$i words here")).toDF("doc_id", "text")
+    val out = Curation.shuffleShards(df, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 200, "every doc is assigned exactly once")
+    assert(out.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+    // positions are 1..n contiguous within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // expected assignment from the scalar fingerprint — the column replica
+    // must agree with the reference JVM implementation byte-for-byte
+    out.foreach { case (id, shard, _, _) =>
+      val h = TextStats.fingerprint64(s"$id:s0")
+      assert(((h % 4) + 4) % 4 == shard, s"doc $id shard mismatch")
+    }
+    val rerun = Curation.shuffleShards(df.repartition(13), "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rerun.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
+      "assignment is partition-invariant")
+    val otherSeed = Curation.shuffleShards(df, "doc_id", "text", nShards = 4, seed = "s1")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(otherSeed.sortBy(_._1).map(r => (r._2, r._3)).toSeq !=
+      out.sortBy(_._1).map(r => (r._2, r._3)).toSeq,
+      "a different seed yields a different permutation")
+  }
+
+  test("shardManifest: counts/tokens per shard; digest flips on reorder and drop") {
+    val df = (0L until 60L).map(i => (i, "three plain tokens")).toDF("doc_id", "text")
+    val shards = Curation.shuffleShards(df, "doc_id", "text", nShards = 3)
+    val m = Curation.shardManifest(shards, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m.map(_._2).sum == 60, "doc counts cover the corpus")
+    assert(m.forall(_._3 > 0), "token sums are positive")
+    // swapping two docs' positions inside one shard must flip that shard's
+    // digest (xor alone would not see a reorder; pos:id terms do)
+    val shard0 = shards.where($"shard_id" === 0)
+    val swapped = shard0.withColumn("pos",
+      when($"pos" === 1L, 2L).when($"pos" === 2L, 1L).otherwise($"pos"))
+    val d0 = Curation.shardManifest(shard0, "doc_id").as[(Long, Long, Long, Long)].collect()
+    val d0s = Curation.shardManifest(swapped, "doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(d0.head._4 != d0s.head._4, "reorder flips the digest")
+    val dropped = Curation.shardManifest(shard0.where($"pos" =!= 1L), "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(d0.head._4 != dropped.head._4, "a dropped row flips the digest")
+  }
 }
