@@ -625,6 +625,28 @@ object SparkEntry {
         operators.Curation.shuffleShards(
           t(s, d, "documents"), "doc_id", "text", nShards = 8), "doc_id")),
 
+    // BPE tokenizer training on the corpus: the 30-merge table learned from
+    // exact distributed word counts. Integer-only arithmetic with total-order
+    // tie-breaks — identical on any partitioning/engine — so the learned
+    // table itself is pinned (constant oracle, sf0.01 gate corpus)
+    "q_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      operators.Bpe.train(t(s, d, "documents"), "text", nMerges = 30, maxWords = 8192)
+        .map(m => (m.rank.toLong, m.left, m.right))
+        .toDF("rank", "lhs", "rhs")
+    }),
+
+    // distributed encode with the table trained above: corpus-total word /
+    // BPE-piece counts (pinned gate — a drifting encoder flips the sums)
+    "q_bpe_encode_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = operators.Bpe.train(docs, "text", nMerges = 30, maxWords = 8192)
+      operators.Bpe.encode(docs, "doc_id", "text", merges)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_pieces")).as("total_pieces"))
+    }),
+
     // ---- web curation (PII redaction / URL canonicalization) ----
 
     // PII scrub over documents with deterministically planted emails /
@@ -2058,6 +2080,30 @@ object SparkEntry {
           bit_xor(CAST(tu - CASE WHEN tu >= 9223372036854775808::HUGEINT
                THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)) AS digest
         FROM t GROUP BY shard_id""",
+
+    // BPE trainer gate: the 30-merge table learned on the sf0.01 corpus,
+    // pinned verbatim (exact long word counts + total-order tie-breaks make
+    // the table partitioning- and engine-independent — the merges surface
+    // real corpus structure: join, hash, batch, scan, column, customer)
+    "q_bpe_merges" ->
+      """SELECT * FROM (VALUES
+          (0::BIGINT, 'e', 'r'), (1::BIGINT, 'i', 'n'), (2::BIGINT, 'o', 'w'),
+          (3::BIGINT, 'o', 'r'), (4::BIGINT, 's', 't'), (5::BIGINT, 'm', 'er'),
+          (6::BIGINT, 'a', 't'), (7::BIGINT, 'l', 'u'), (8::BIGINT, 'a', 'r'),
+          (9::BIGINT, 'p', 'ar'), (10::BIGINT, 'j', 'o'), (11::BIGINT, 'jo', 'in'),
+          (12::BIGINT, 'a', 's'), (13::BIGINT, 'as', 'h'), (14::BIGINT, 'h', 'ash'),
+          (15::BIGINT, 'r', 'ow'), (16::BIGINT, 'at', 'c'), (17::BIGINT, 'atc', 'h'),
+          (18::BIGINT, 'b', 'atch'), (19::BIGINT, 'a', 'n'), (20::BIGINT, 'c', 'an'),
+          (21::BIGINT, 's', 'can'), (22::BIGINT, 'c', 'o'), (23::BIGINT, 'c', 'u'),
+          (24::BIGINT, 'co', 'lu'), (25::BIGINT, 'colu', 'm'), (26::BIGINT, 'colum', 'n'),
+          (27::BIGINT, 'cu', 'st'), (28::BIGINT, 'cust', 'o'), (29::BIGINT, 'custo', 'mer')
+        ) t(rank, lhs, rhs)""",
+
+    // BPE encode gate: corpus-total word/piece counts under the trained
+    // table (pinned — encoder or trainer drift flips the sums)
+    "q_bpe_encode_gate" ->
+      """SELECT 500::BIGINT AS n_docs, 27165::BIGINT AS total_words,
+          79215::BIGINT AS total_pieces""",
 
     // PII scrub: byte-identical planted input (pure string arithmetic on
     // doc_id) + the same RE2∩Java regexes, counts on the original text,
