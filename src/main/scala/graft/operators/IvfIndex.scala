@@ -49,6 +49,28 @@ object IvfIndex {
     pivotArr.length
   }
 
+  /** Incremental index maintenance: assign a NEW vector batch to the
+    * EXISTING pivots and append it into the cluster-partitioned layout —
+    * O(batch) work (one narrow assignment pass over the batch; new parquet
+    * files land inside only the touched cluster directories, standing files
+    * are never rewritten). No re-train: serving stays result-identical to a
+    * full rebuild WITH THE SAME PIVOTS over the union corpus. The standard
+    * IVF maintenance contract (FAISS `add` after `train`) and its caveat
+    * apply: pivots drift as the corpus distribution moves, so rebuild once
+    * the appended fraction is large; the returned (nStanding, nAppended)
+    * gives the caller that ratio.
+    */
+  def append(batch: DataFrame, indexDir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): (Long, Long) = {
+    val spark = batch.sparkSession
+    val pivotArr = loadPivots(spark, indexDir)
+    require(pivotArr.nonEmpty, s"append: no pivot table under $indexDir — build first")
+    val standing = spark.read.parquet(vectorsPath(indexDir)).count()
+    Similarity.assignClusters(batch, pivotArr, idCol, embCol)
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(vectorsPath(indexDir))
+    (standing, batch.count())
+  }
+
   /** Load the pivot table (≈√N rows) back as the driver-side array the
     * probe/assign primitives take.
     */

@@ -75,4 +75,44 @@ class IvfIndexSpec extends AnyFunSuite {
       .listFiles(vectorScan.get.partitionFilters, Nil).size
     assert(selected <= 2, s"expected ≤2 probed partitions, scan selected $selected")
   }
+
+  test("append: O(batch) add serves identically to a same-pivot rebuild on the union") {
+    import spark.implicits._
+    val corpus = clusteredCorpus()
+    val base = corpus.where($"vec_id" < 300)
+    val batch = corpus.where($"vec_id" >= 300)
+    val dir = Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.build(base, dir, Similarity.IvfParams(nPivots = 16))
+
+    // standing bytes must survive the append untouched (no table rewrite)
+    val vdir = new java.io.File(IvfIndex.vectorsPath(dir))
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(vdir).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    val (nStanding, nAppended) = IvfIndex.append(batch, dir)
+    assert(nStanding == 300L && nAppended == 100L)
+    val after = files()
+    assert(before.forall { case (p, ts) => after.get(p).contains(ts) },
+      "append rewrote standing files")
+    assert(after.size > before.size, "append added no files")
+
+    val queries = corpus.where($"vec_id" < 8)
+    val served = IvfIndex.topK(spark, dir, queries, k = 10, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val pivots = spark.read.parquet(IvfIndex.pivotsPath(dir))
+    val rebuilt = Similarity.ivfTopK(corpus, queries, k = 10,
+        Similarity.IvfParams(nProbe = 4), pivotsOverride = Some(pivots))
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(served == rebuilt, "append-then-serve differs from same-pivot rebuild")
+    // appended ids are actually reachable
+    assert(IvfIndex.topK(spark, dir, corpus.where($"vec_id" === 301), k = 1, nProbe = 1)
+      .select($"neighbor_id").as[Long].collect().head == 301L,
+      "an appended vector should be its own nearest neighbor")
+  }
 }
