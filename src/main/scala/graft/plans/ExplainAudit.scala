@@ -188,7 +188,27 @@ object ExplainAudit {
         Seq("PushedFilters: [In(doc_id"),
         "point lookups are path-pruned literal scans, never joins or table scans",
         mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
-          "Exchange hashpartitioning"))
+          "Exchange hashpartitioning")),
+
+      Check("lift broadcasts the resolves_to map on both hops",
+        s => {
+          import s.implicits._
+          // replicate the bench condition: both inputs are localCheckpoint
+          // ExistingRDDs with NO stats — Catalyst once build-hashed the
+          // million-row triple side here and sort-merged the second hop
+          val triples = (0L until 5000L)
+            .map(i => graft.model.Triple(s"e${i % 97}", "REL", s"e${(i * 7) % 97}", s"c$i"))
+            .toDS().localCheckpoint(true)
+          val res = (0L until 97L)
+            .map(i => graft.model.ResolvesTo(s"e$i", s"canon${i % 11}"))
+            .toDS().localCheckpoint(true)
+          graft.operators.Lift.resolvedTriples(triples, res).toDF()
+        },
+        // both canonicalization hops must be broadcast hash joins; the only
+        // exchange left is the final (subj, pred, obj) dedup
+        Seq("BroadcastHashJoin"),
+        "the per-entity mapping broadcasts; triples never sort-merge",
+        mustNotContain = Seq("SortMergeJoin"))
     )
 
     var failures = 0
