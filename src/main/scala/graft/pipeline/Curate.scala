@@ -66,10 +66,12 @@ object Curate {
       /** mixture target as parts-per-hundred of the post-decontam corpus. */
       targetPct: Int = 60,
       packBudgetTokens: Long = 2048,
+      /** loader shards the final mixture is permuted into. */
+      nShards: Int = 8,
       shufflePartitions: Option[Int] = None) {
     def fingerprintBase: String =
       s"curate|$corpus|$minTokens|$jaccard|$injectDups|$lineDedupMaxDocs|" +
-        s"$evalMod|$decontamN|$targetPct|$packBudgetTokens"
+        s"$evalMod|$decontamN|$targetPct|$packBudgetTokens|$nShards"
   }
 
   final case class Result(catalog: Catalog, stages: Seq[StageResult]) {
@@ -205,6 +207,7 @@ object Curate {
 
     stage("cur_mixture")(c => buildMixture(c, cfg))
     stage("cur_packs")(c => buildPacks(c, cfg))
+    stage("cur_shards")(c => buildShards(c, cfg))
     stage("cur_final")(c => c.writeCounted("cur_final", c.read("cur_mixture")))
 
     Result(cat, results.result())
@@ -224,6 +227,19 @@ object Curate {
     c.writeCounted("cur_packs",
       Curation.packContiguous(c.read("cur_mixture"), "lang", "doc_id", "text",
         cfg.packBudgetTokens))
+
+  /** Loader-shard materialization: the mixture permuted into `nShards`
+    * deterministic shards plus the per-shard manifests a loader checks
+    * before trusting a shard (Curation.shuffleShards / shardManifest).
+    * Regenerated with the mixture — a derived artifact, not dedup state.
+    */
+  private def buildShards(c: Catalog, cfg: Config): Long = {
+    val n = c.writeCounted("cur_shards",
+      Curation.shuffleShards(c.read("cur_mixture"), "doc_id", "text", cfg.nShards))
+    c.writeCounted("cur_shard_manifest",
+      Curation.shardManifest(c.read("cur_shards"), "doc_id"))
+    n
+  }
 
   /** Incremental curation ingest — the standing-corpus operating mode: a
     * new crawl batch lands, is deduplicated against the WHOLE history
@@ -390,6 +406,7 @@ object Curate {
     // derived tail regenerated over the updated standing corpus
     stage("incr_cur_mixture")(c => buildMixture(c, cfg))
     stage("incr_cur_packs")(c => buildPacks(c, cfg))
+    stage("incr_cur_shards")(c => buildShards(c, cfg))
     stage("incr_cur_final")(c => c.writeCounted("cur_final", c.read("cur_mixture")))
 
     Result(cat, results.result())

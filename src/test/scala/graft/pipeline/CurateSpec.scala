@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -34,6 +35,17 @@ class CurateSpec extends AnyFunSuite {
     assert(rows("cur_decontam") == 296L)
     assert(rows("cur_final") == rows("cur_mixture"))
     assert(rows("cur_packs") > 0L)
+    // loader shards cover the mixture exactly; manifests agree with a
+    // direct recount of the assignment table
+    assert(rows("cur_shards") == rows("cur_mixture"))
+    val manifest = r.catalog.read("cur_shard_manifest")
+      .select("shard_id", "n_docs", "total_tokens")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val recount = r.catalog.read("cur_shards")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(manifest == recount, "manifest disagrees with the shard table")
 
     // the cache copies won their clusters: every planted cache doc is
     // still present and its original is gone
