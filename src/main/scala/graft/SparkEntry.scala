@@ -434,6 +434,38 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Events.sessionize(t(s, d, "events"), gapSeconds = 1800)),
 
+    // As-of join: each purchase attributed to the same user's latest click
+    // at-or-before it (union + carry-forward window — ONE key shuffle; the
+    // naive theta-join plans as BroadcastNestedLoop). Ties on click ts break
+    // to max event_id; the oracle pins identical semantics via QUALIFY.
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("ts", "value"), tieBreak = "event_id")
+    }),
+
+    // Range join: clicks landing inside the hour after each purchase, via
+    // grid-bucketed interval join (equi-shuffle on (user, hour-cell) + in-
+    // plan cell-budget guard), aggregated per purchase. The oracle is the
+    // exact inequality join DuckDB can afford at sf scale.
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.operators.Temporal.rangeJoin(clicks, windows, Seq("user_id"),
+          pointTs = "ts", startCol = "w_start", endCol = "w_end", gridSeconds = 3600L)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"), max(col("ts")).as("last_click_ts"))
+    }),
+
     "q_rollup" -> ((s, d) =>
       t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -1566,6 +1598,23 @@ object SparkEntry {
           min(ts) AS session_start, max(ts) AS session_end,
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM sess GROUP BY user_id, session_idx""",
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        QUALIFY row_number() OVER (PARTITION BY p.event_id
+          ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1""",
+
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+          max(c.ts) AS last_click_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        GROUP BY 1""",
 
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -208,7 +208,24 @@ object ExplainAudit {
         // exchange left is the final (subj, pred, obj) dedup
         Seq("BroadcastHashJoin"),
         "the per-entity mapping broadcasts; triples never sort-merge",
-        mustNotContain = Seq("SortMergeJoin"))
+        mustNotContain = Seq("SortMergeJoin")),
+
+      Check("as-of join is one window pass, never a nested-loop join",
+        s => graft.SparkEntry.queries("q_asof_join")(s, sfDir),
+        // the union+carry-forward formulation must plan as Window over ONE
+        // key exchange — a theta join (r.ts <= l.ts) would plan as
+        // BroadcastNestedLoopJoin and die at scale
+        Seq("Window"),
+        "asof = union + running last() inside the key shuffle",
+        mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+
+      Check("range join buckets to an equi-join, never a nested loop",
+        s => graft.SparkEntry.queries("q_range_join")(s, sfDir),
+        // the grid-cell explode turns point-in-interval into an equi-join on
+        // (key, cell) with a residual between filter
+        Seq("Join"),
+        "interval containment joins on (key, grid cell)",
+        mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
     )
 
     var failures = 0
