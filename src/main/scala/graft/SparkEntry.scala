@@ -571,6 +571,38 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) =>
       TextStats.termStats(t(s, d, "documents"), k = 100)),
 
+    // Misra–Gries heavy-hitter sketch gate: the sketch's raw counters vary
+    // with partitioning (legitimately — MG is a summary, not a total), but
+    // its guarantees do NOT: never overestimate, error within the tracked
+    // bound, err ≤ N/(k+1), and no token with true freq > N/(k+1) evicted.
+    // The gate pins exactly those, plus the deterministic corpus totals.
+    "q_mg_topk_gate" -> ((s, d) => {
+      val k = 64
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .select(col("token"))
+      val sk = toks
+        .agg(graft.functions.FreqSketch.misraGries(k)(col("token")).as("r"))
+        .select(col("r.err").as("err"), explode(col("r.items")).as(Seq("token", "est")))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tru"))
+      val totals = toks.agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+      sk.join(exact, Seq("token"), "right")
+        .crossJoin(broadcast(totals))
+        .agg(
+          max(col("n_tokens")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          count(when(col("est") > col("tru"), 1)).as("n_overestimates"),
+          count(when(col("est").isNotNull &&
+            col("tru") - col("est") > col("err"), 1)).as("n_outside_bound"),
+          count(when(col("tru") > col("n_tokens") / lit((k + 1).toDouble) &&
+            col("est").isNull, 1)).as("n_heavy_missed"),
+          (max(col("err")) <= max(col("n_tokens")) / lit((k + 1).toDouble))
+            .as("err_within_bound"))
+    }),
+
     // ---- corpus curation (decontaminate / sample / bin / pack) ----
 
     // benchmark decontamination: docs with doc_id % 20 == 0 play the
@@ -1818,6 +1850,19 @@ object SparkEntry {
         SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         FROM tok GROUP BY token
         ORDER BY tf DESC, token LIMIT 100""",
+
+    "q_mg_topk_gate" ->
+      """WITH tok AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          FROM documents)
+        SELECT count(*)::BIGINT AS n_tokens,
+          count(DISTINCT token)::BIGINT AS n_distinct,
+          0::BIGINT AS n_overestimates,
+          0::BIGINT AS n_outside_bound,
+          0::BIGINT AS n_heavy_missed,
+          true AS err_within_bound
+        FROM tok""",
 
     "q_repetition" ->
       """WITH base AS (
