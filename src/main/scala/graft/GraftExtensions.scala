@@ -21,6 +21,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.fingerprintDescriptor)
   }
 }
 
@@ -33,9 +34,18 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  val fingerprintDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint64"),
+    new ExpressionInfo(classOf[graft.functions.Fingerprint64].getName, "graft_fingerprint64"),
+    { children: Seq[Expression] =>
+      require(children.size == 1, "graft_fingerprint64 takes exactly 1 argument")
+      graft.functions.Fingerprint64(children.head)
+    })
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineDescriptor, fingerprintDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

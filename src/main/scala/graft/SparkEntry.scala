@@ -948,7 +948,7 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextStats.fingerprintUdf(col("text")).as("fp64"))),
+        .select(col("doc_id"), TextStats.fingerprintCol(col("text")).as("fp64"))),
 
     // ---- similarity search over embeddings ----
 

@@ -71,7 +71,7 @@ object Curation {
     * reproducible pipelines sample by hash.
     */
   def hashBucketCol(key: Column, mod: Int): Column =
-    pmod(TextStats.fingerprintUdf(key.cast("string")), lit(mod.toLong))
+    pmod(TextStats.fingerprintCol(key.cast("string")), lit(mod.toLong))
 
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * falls below the stratum's per-cent rate. Pure narrow filter — at
@@ -344,7 +344,7 @@ object Curation {
   def shuffleShards(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, seed: String = "s0"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val h = TextStats.fingerprintUdf(concat(col(idCol), lit(":"), lit(seed)))
+    val h = TextStats.fingerprintCol(concat(col(idCol), lit(":"), lit(seed)))
     val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col(idCol))
     df.select(col(idCol), col(textCol))
       .withColumn("h", h)
@@ -364,7 +364,7 @@ object Curation {
   def shardManifest(shards: DataFrame, idCol: String): DataFrame =
     shards
       .withColumn("term",
-        TextStats.fingerprintUdf(concat(col("pos"), lit(":"), col(idCol))))
+        TextStats.fingerprintCol(concat(col("pos"), lit(":"), col(idCol))))
       .groupBy(col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),

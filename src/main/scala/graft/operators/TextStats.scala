@@ -180,4 +180,13 @@ object TextStats {
   }
 
   val fingerprintUdf = udf((s: String) => fingerprint64(s))
+
+  /** Codegen'd column form of [[fingerprint64]] — bit-identical to
+    * [[fingerprintUdf]] (both call the same body) but inlines into the
+    * surrounding WholeStageCodegen span instead of fencing it. Use this on
+    * hot whole-corpus paths (sampling, shard assignment, dedup digests). */
+  def fingerprintCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Fingerprint64(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 }
