@@ -136,7 +136,8 @@ object Bench {
       "q_dedup_canonical", "q_bm25", "q_rrf_fusion", "q_lm_ppl_buckets",
       "q_ccnet_normalize", "q_domain_quota", "q_semdedup", "q_dsir_select",
       "q_shard_assign", "q_shard_manifest", "q_bpe_merges", "q_bpe_encode_gate",
-      "q_asof_join", "q_range_join", "q_mg_topk_gate")
+      "q_asof_join", "q_range_join", "q_mg_topk_gate",
+      "q_kmv_distinct", "q_kmv_overlap", "q_hopping_windows")
     val ctimes = curation.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()

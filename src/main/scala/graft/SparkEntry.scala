@@ -38,6 +38,21 @@ object SparkEntry {
 
   private val processIdUdf = udf(Normalize.processId _)
 
+  /** (doc_id, h): FNV-1a hash of each 5-token shingle of the lowercased
+    * token stream — the KMV sketch universe. The \u0001 joiner and the
+    * slice bounds are mirrored verbatim in the DuckDB oracles (chr(1),
+    * tk[i:i+4]); fingerprint64 is char-for-char reproducible there.
+    */
+  private def kmvShingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(tk) >= 5
+             THEN transform(sequence(1, size(tk) - 4),
+                    i -> concat_ws(char(1), slice(tk, i, 5)))
+             ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+      .select(col("doc_id"), graft.operators.TextStats.fingerprintCol(col("g")).as("h"))
+
   /** Documents text with deterministically planted PII (the sfDir corpus has
     * none): emails on doc_id%3==0, +CC phones on %5==0, dotted-quad IPv4 on
     * %7==0. Pure string arithmetic on doc_id so the DuckDB oracle builds the
@@ -434,6 +449,18 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Events.sessionize(t(s, d, "events"), gapSeconds = 1800)),
 
+    // Hopping (sliding) windows via Spark's native window() generator —
+    // each event lands in exactly 4 of the 1h/15min windows, one explode +
+    // one partial-agg shuffle. The oracle replays the window algebra from
+    // epoch seconds (both engines' buckets align: epoch0 ≡ 0 mod 900).
+    "q_hopping_windows" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
     // As-of join: each purchase attributed to the same user's latest click
     // at-or-before it (union + carry-forward window — ONE key shuffle; the
     // naive theta-join plans as BroadcastNestedLoop). Ties on click ts break
@@ -601,6 +628,65 @@ object SparkEntry {
             col("est").isNull, 1)).as("n_heavy_missed"),
           (max(col("err")) <= max(col("n_tokens")) / lit((k + 1).toDouble))
             .as("err_within_bound"))
+    }),
+
+    // KMV (bottom-k) distinct sketch over 5-token shingles. The sketch
+    // state is the k unsigned-smallest distinct FNV hashes OF THE SET —
+    // partitioning/merge-order invariant — and the hash is DuckDB-
+    // reproducible, so the oracle recomputes the ACTUAL kth hash and the
+    // estimate to the bit, not just a tolerance band.
+    "q_kmv_distinct" -> ((s, d) => {
+      val k = 1024
+      val h = kmvShingleHashes(t(s, d, "documents")).select(col("h"))
+      h.agg(graft.functions.KmvSketch.kmv(k)(col("h")).as("r"),
+          countDistinct(col("h")).as("exact_distinct"))
+        .select(
+          size(col("r.hashes")).cast("long").as("n_hashes"),
+          element_at(col("r.hashes"), -1).as("kth_hash"),
+          round(expr(
+            s"""CASE WHEN size(r.hashes) < $k THEN CAST(size(r.hashes) AS DOUBLE)
+                ELSE (${k - 1}.0 * 18446744073709551616.0) /
+                  (CASE WHEN element_at(r.hashes, -1) >= 0L
+                        THEN CAST(element_at(r.hashes, -1) AS DOUBLE)
+                        ELSE CAST(element_at(r.hashes, -1) AS DOUBLE)
+                             + 18446744073709551616.0 END) END"""), 3).as("est_distinct"),
+          col("exact_distinct"),
+          expr(
+            s"""abs((CASE WHEN size(r.hashes) < $k THEN CAST(size(r.hashes) AS DOUBLE)
+                ELSE (${k - 1}.0 * 18446744073709551616.0) /
+                  (CASE WHEN element_at(r.hashes, -1) >= 0L
+                        THEN CAST(element_at(r.hashes, -1) AS DOUBLE)
+                        ELSE CAST(element_at(r.hashes, -1) AS DOUBLE)
+                             + 18446744073709551616.0 END) END) - exact_distinct)
+                <= 0.15 * exact_distinct""").as("est_ok"))
+    }),
+
+    // KMV crawl-overlap: Jaccard between the even- and odd-doc shingle
+    // sets estimated from two independent sketches (never co-shuffling the
+    // corpora) vs the exact hash-set Jaccard. Both the estimate and the
+    // exact value are deterministic — full oracle compare.
+    "q_kmv_overlap" -> ((s, d) => {
+      val k = 1024
+      val h = kmvShingleHashes(t(s, d, "documents"))
+        .select(pmod(col("doc_id"), lit(2)).as("side"), col("h"))
+      val exact = h.groupBy(col("h"))
+        .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+          max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
+        .agg(
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("inter"),
+          count(lit(1)).as("uni"))
+      val ska = h.where(col("side") === 0)
+        .agg(graft.functions.KmvSketch.kmv(k)(col("h")).as("ra"))
+      val skb = h.where(col("side") === 1)
+        .agg(graft.functions.KmvSketch.kmv(k)(col("h")).as("rb"))
+      val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+        graft.functions.KmvSketch.estimateJaccard(k, a, b))
+      ska.crossJoin(skb).crossJoin(broadcast(exact))
+        .select(
+          round(jac(col("ra.hashes"), col("rb.hashes")), 3).as("est_jaccard"),
+          round(col("inter").cast("double") / col("uni"), 6).as("exact_jaccard"),
+          (abs(jac(col("ra.hashes"), col("rb.hashes")) -
+            col("inter").cast("double") / col("uni")) <= 0.1).as("est_ok"))
     }),
 
     // ---- corpus curation (decontaminate / sample / bin / pack) ----
@@ -1631,6 +1717,14 @@ object SparkEntry {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM sess GROUP BY user_id, session_idx""",
 
+    "q_hopping_windows" ->
+      """SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000)
+            AS win_start,
+          event_type, count(*) AS cnt,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        GROUP BY win_start, event_type""",
+
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.value AS asof_value
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1863,6 +1957,73 @@ object SparkEntry {
           0::BIGINT AS n_heavy_missed,
           true AS err_within_bound
         FROM tok""",
+
+    "q_kmv_distinct" ->
+      """WITH norm AS (
+          SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT array_to_string(tk[i:i+4], chr(1)) AS g
+          FROM norm, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS u(i)),
+        fp AS (
+          SELECT DISTINCT list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(g) + 1),
+                j -> unicode(substr(g, j, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM sh),
+        mins AS (SELECT h FROM fp ORDER BY h LIMIT 1024),
+        agg AS (SELECT count(*) AS nh, max(h) AS kth FROM mins),
+        ex AS (SELECT count(*) AS exact_distinct FROM fp)
+        SELECT nh::BIGINT AS n_hashes,
+          CAST(kth - CASE WHEN kth >= 9223372036854775808::HUGEINT
+                          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+               AS BIGINT) AS kth_hash,
+          round(CASE WHEN nh < 1024 THEN nh::DOUBLE
+                ELSE (1023.0 * 18446744073709551616.0) / CAST(kth AS DOUBLE) END, 3)
+            AS est_distinct,
+          exact_distinct::BIGINT AS exact_distinct,
+          abs((CASE WHEN nh < 1024 THEN nh::DOUBLE
+               ELSE (1023.0 * 18446744073709551616.0) / CAST(kth AS DOUBLE) END)
+              - exact_distinct) <= 0.15 * exact_distinct AS est_ok
+        FROM agg, ex""",
+
+    "q_kmv_overlap" ->
+      """WITH norm AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id % 2 AS side, array_to_string(tk[i:i+4], chr(1)) AS g
+          FROM norm, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS u(i)),
+        fp AS (
+          SELECT DISTINCT side, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(g) + 1),
+                j -> unicode(substr(g, j, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM sh),
+        ka AS (SELECT h FROM fp WHERE side = 0 ORDER BY h LIMIT 1024),
+        kb AS (SELECT h FROM fp WHERE side = 1 ORDER BY h LIMIT 1024),
+        un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+               ORDER BY h LIMIT 1024),
+        est AS (
+          SELECT count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+                                  AND h IN (SELECT h FROM kb))::DOUBLE
+                 / count(*) AS est_j
+          FROM un),
+        ex AS (
+          SELECT sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) AS exact_j
+          FROM (SELECT h, bool_or(side = 0) AS in_a, bool_or(side = 1) AS in_b
+                FROM fp GROUP BY h))
+        SELECT round(est_j, 3) AS est_jaccard,
+          round(exact_j, 6) AS exact_jaccard,
+          abs(est_j - exact_j) <= 0.1 AS est_ok
+        FROM est, ex""",
 
     "q_repetition" ->
       """WITH base AS (
