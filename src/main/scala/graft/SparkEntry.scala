@@ -11,7 +11,7 @@ import graft.corpus.CorpusSynth
 import graft.extract.RuleExtractor
 import graft.functions.Normalize
 import graft.model._
-import graft.operators.{Dedup, GraphAssembly, Lift, Similarity, TextStats}
+import graft.operators.{Dedup, GraphAssembly, Lift, Similarity, TextStats, Winnow}
 import graft.resolve.Resolution
 import graft.retrieval.{Retrieval, RetrieverDriver}
 
@@ -939,6 +939,43 @@ object SparkEntry {
     // exact SQL recompute oracle (same tokenization, same interval union)
     "q_substring_dup" -> ((s, d) =>
       Dedup.substringDupStats(t(s, d, "documents"), windowTokens = 8)),
+
+    // Winnowing fingerprint selection (Schleimer et al. SIGMOD'03 — MOSS):
+    // per-doc selected-set stats. The oracle recomputes the selection
+    // shingle-for-shingle in SQL: FNV-1a fold per 4-token shingle, then the
+    // same windowed-min with the identical (unsigned hash, rightmost-pos)
+    // tie-break via hu·2^20 + (2^20−1−pos) key packing.
+    "q_winnow" -> ((s, d) =>
+      Winnow.stats(t(s, d, "documents"), k = 4, w = 5)),
+
+    // winnowed pair-finding: the inverted index shuffles only the ≈2/(w+1)
+    // selected sample yet still catches every shared ≥(w+k−1)-token run; the
+    // doc-frequency cap is mirrored exactly in the oracle SQL
+    "q_winnow_pairs" -> ((s, d) =>
+      Winnow.pairs(t(s, d, "documents"), k = 4, w = 5,
+        minShared = 2, maxDocFreq = 100)),
+
+    // skip-gram co-occurrence counts — the PMI/collocation substrate. Emits
+    // exact integers only (pair + both unigram counts); ln is applied
+    // downstream (TextStats.pmiCol) because it is not correctly-rounded
+    // IEEE and would hash-differ across engines.
+    "q_cooc_pairs" -> ((s, d) =>
+      TextStats.coocPairs(t(s, d, "documents"),
+        window = 3, minCount = 2, topN = 200)),
+
+    // Count-Min sketch cells: the sketch is LINEAR (every cell a plain sum),
+    // so the merged grid is bit-identical under any partitioning and the
+    // oracle recomputes all depth×width cells exactly from token counts +
+    // the same row-salted FNV hashes — a full-strength oracle where
+    // Misra-Gries (order-dependent state) only supports guarantee gates.
+    "q_cm_cells" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(explode(
+        filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= "")).as("tok"))
+      toks.agg(graft.functions.CmSketch.countMin(4, 64)(col("tok")).as("cm"))
+        .select(posexplode(col("cm.cells")).as(Seq("i", "cell_count")))
+        .select(expr("CAST(i DIV 64 AS BIGINT)").as("r"),
+          expr("CAST(i % 64 AS BIGINT)").as("c"), col("cell_count"))
+    }),
 
     // incremental Bloom dedup gate: even-ids play the standing history,
     // odd-ids the new crawl batch, keyed on the 50-char prefix so the two
@@ -2847,6 +2884,156 @@ object SparkEntry {
           CASE WHEN len(t.tk) > 0
                THEN coalesce(c2.covered, 0) / len(t.tk) ELSE 0.0 END AS dup_frac
         FROM toks t LEFT JOIN c2 USING (doc_id)""",
+
+    // winnowing oracles: recompute the selection exactly — FNV-1a HUGEINT
+    // fold per 4-token shingle (same fold as q_fingerprint), then a
+    // windowed-min over key = hu·2^20 + (2^20−1−pos), whose minimum is the
+    // (unsigned-smallest hash, rightmost position) shingle of each 5-window;
+    // docs with fewer shingles than the window are one whole-doc window
+    // (rn >= least(5, g) keeps exactly the full windows / the last row)
+    "q_winnow" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+            i -> {'pos': i, 'gram': array_to_string(tk[i:i+3], ' ')})) AS wrow
+          FROM toks WHERE len(tk) >= 4),
+        fps AS (
+          SELECT doc_id, wrow.pos AS pos, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(wrow.gram) + 1),
+                i -> unicode(substr(wrow.gram, i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS hu
+          FROM g0),
+        keyed AS (
+          SELECT doc_id, pos, hu,
+            hu * 1048576::HUGEINT + (1048575 - pos)::HUGEINT AS key
+          FROM fps),
+        wins AS (
+          SELECT doc_id,
+            min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn,
+            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+            count(*) OVER (PARTITION BY doc_id) AS g
+          FROM keyed),
+        sel AS (SELECT DISTINCT doc_id, mn FROM wins WHERE rn >= least(5, g)),
+        hs AS (
+          SELECT doc_id, mn // 1048576::HUGEINT AS hu FROM sel),
+        st AS (
+          SELECT doc_id, count(*) AS n_selected,
+            sum(CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                               THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                     AS HUGEINT)) AS digest
+          FROM hs GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST(greatest(len(t.tk) - 3, 0) AS BIGINT) AS n_grams,
+          coalesce(st.n_selected, 0)::BIGINT AS n_selected,
+          CAST(coalesce(st.digest, 0::HUGEINT) AS VARCHAR) AS digest,
+          round(CASE WHEN len(t.tk) - 3 > 0
+                THEN coalesce(st.n_selected, 0) / (len(t.tk) - 3)
+                ELSE 0.0 END, 6) AS density
+        FROM toks t LEFT JOIN st USING (doc_id)""",
+
+    "q_winnow_pairs" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+            i -> {'pos': i, 'gram': array_to_string(tk[i:i+3], ' ')})) AS wrow
+          FROM toks WHERE len(tk) >= 4),
+        fps AS (
+          SELECT doc_id, wrow.pos AS pos, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(wrow.gram) + 1),
+                i -> unicode(substr(wrow.gram, i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS hu
+          FROM g0),
+        keyed AS (
+          SELECT doc_id, pos, hu,
+            hu * 1048576::HUGEINT + (1048575 - pos)::HUGEINT AS key
+          FROM fps),
+        wins AS (
+          SELECT doc_id,
+            min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mn,
+            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+            count(*) OVER (PARTITION BY doc_id) AS g
+          FROM keyed),
+        sel AS (
+          SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id,
+            mn // 1048576::HUGEINT AS hu
+          FROM wins WHERE rn >= least(5, g)),
+        kept AS (
+          SELECT id, hu FROM sel
+          WHERE hu IN (SELECT hu FROM sel GROUP BY hu
+                       HAVING count(*) <= 100)),
+        pr AS (
+          SELECT x.id AS a, y.id AS b, count(*) AS shared
+          FROM kept x JOIN kept y ON x.hu = y.hu AND x.id < y.id
+          GROUP BY 1, 2)
+        SELECT a, b, shared FROM pr WHERE shared >= 2""",
+
+    // skip-gram co-occurrence: exact integer replica — ordered windows
+    // (i, i+d], d in [1,3], same-token pairs skipped, unordered pair key via
+    // least/greatest (binary collation both engines), deterministic
+    // total-ordered head (count desc, pair asc)
+    "q_cooc_pairs" ->
+      """WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        p0 AS (
+          SELECT unnest(list_filter(
+            flatten(list_transform(range(1, len(tk) + 1), i ->
+              list_transform(range(1, 4), d ->
+                CASE WHEN i + d <= len(tk) AND tk[i] <> tk[i + d]
+                     THEN {'ta': least(tk[i], tk[i + d]),
+                           'tb': greatest(tk[i], tk[i + d])}
+                     ELSE NULL END))),
+            p -> p IS NOT NULL)) AS p
+          FROM toks),
+        pairs AS (
+          SELECT p.ta AS token_a, p.tb AS token_b, count(*) AS pair_count
+          FROM p0 GROUP BY 1, 2 HAVING count(*) >= 2),
+        uni AS (
+          SELECT tok, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok)
+        SELECT token_a, token_b, pair_count,
+          ua.cnt AS count_a, ub.cnt AS count_b
+        FROM pairs
+        JOIN uni ua ON ua.tok = token_a
+        JOIN uni ub ON ub.tok = token_b
+        ORDER BY pair_count DESC, token_a, token_b LIMIT 200""",
+
+    // Count-Min cells: the sketch is linear, so DuckDB recomputes the whole
+    // 4×64 grid exactly — row hash = FNV-1a("r:" || token) mod 64 unsigned,
+    // cell = sum of exact counts of tokens hashing there, zero-filled grid
+    "q_cm_cells" ->
+      """WITH toks AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+          FROM documents),
+        tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        hashed AS (
+          SELECT r.range AS r, cnt, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(CAST(r.range AS VARCHAR) || ':' || tok) + 1),
+                i -> unicode(substr(CAST(r.range AS VARCHAR) || ':' || tok, i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) % 64::HUGEINT AS c
+          FROM tc CROSS JOIN range(4) r),
+        cells AS (
+          SELECT r, CAST(c AS BIGINT) AS c, sum(cnt) AS cell_count
+          FROM hashed GROUP BY 1, 2)
+        SELECT g.r, g.c, coalesce(cells.cell_count, 0)::BIGINT AS cell_count
+        FROM (SELECT rr.range AS r, cc.range AS c
+              FROM range(4) rr CROSS JOIN range(64) cc) g
+        LEFT JOIN cells ON g.r = cells.r AND g.c = cells.c""",
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

@@ -189,4 +189,59 @@ object TextStats {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.Fingerprint64(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** Skip-gram co-occurrence statistics — the count substrate for PMI /
+    * collocation mining over a pretraining corpus (phrase tables,
+    * tokenizer-merge candidates, word-vector co-occurrence matrices). For
+    * every token position i, each ordered window partner j ∈ (i, i+window]
+    * contributes one observation to the UNORDERED pair (min(a,b), max(a,b));
+    * same-token pairs are skipped. Emits the exact integers — pair_count and
+    * both unigram counts — rather than a floating PMI, so the result
+    * hash-compares across engines (ln is not correctly-rounded IEEE; the
+    * [[pmiCol]] helper derives the score downstream).
+    *
+    * Scale shape: one codegen'd pair explode (O(tokens·window) rows, narrow)
+    * into one partial-agg pair shuffle; unigram counts are a second bounded
+    * aggregation joined back onto the pair table. `minCount` prunes the
+    * long-tail pairs BEFORE the unigram join; `topN` returns a deterministic
+    * total-ordered head (count desc, then pair lexicographic) via
+    * TakeOrderedAndProject, never a ties-arbitrary LIMIT.
+    */
+  def coocPairs(df: DataFrame, window: Int = 3, minCount: Long = 2,
+      topN: Int = 200, textCol: String = "text"): DataFrame = {
+    require(window >= 1, "coocPairs: window must be >= 1")
+    val toks = df.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "").as("tk"))
+    // ordered windows as one higher-order-function expression: for i in
+    // [0, n), for d in [1, window], pair (tk[i], tk[i+d]) if in range
+    val pairs = toks.select(explode(expr(
+      s"""filter(
+            flatten(transform(tk, (x, i) ->
+              transform(sequence(1, $window), d ->
+                IF(i + d < size(tk) AND x <> tk[i + d],
+                   struct(least(x, tk[i + d]) AS ta, greatest(x, tk[i + d]) AS tb),
+                   CAST(NULL AS STRUCT<ta: STRING, tb: STRING>))))),
+            p -> p IS NOT NULL)""")).as("p"))
+      .groupBy(col("p.ta").as("token_a"), col("p.tb").as("token_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .where(col("pair_count") >= minCount)
+    val uni = df.select(explode(
+        filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= "")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    pairs
+      .join(uni.select(col("tok").as("token_a"), col("cnt").as("count_a")), "token_a")
+      .join(uni.select(col("tok").as("token_b"), col("cnt").as("count_b")), "token_b")
+      .orderBy(col("pair_count").desc, col("token_a"), col("token_b"))
+      .limit(topN)
+      .select(col("token_a"), col("token_b"), col("pair_count"),
+        col("count_a"), col("count_b"))
+  }
+
+  /** PMI score derived from [[coocPairs]] integers: ln(c_ab · N / (c_a · c_b))
+    * with N = total pair observations. Kept OUT of the gated query (ln ulp
+    * noise is engine-dependent); callers rank by it downstream. */
+  def pmiCol(pairCount: Column, countA: Column, countB: Column,
+      totalPairs: Column): Column =
+    log(pairCount.cast("double") * totalPairs.cast("double")
+      / (countA.cast("double") * countB.cast("double")))
 }
