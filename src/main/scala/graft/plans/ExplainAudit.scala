@@ -225,7 +225,23 @@ object ExplainAudit {
         // (key, cell) with a residual between filter
         Seq("Join"),
         "interval containment joins on (key, grid cell)",
-        mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+
+      Check("winnowing stats are a pure narrow pass",
+        s => graft.SparkEntry.queries("q_winnow")(s, sfDir),
+        // per-doc selection is a row-local function: the whole stats query
+        // must plan as scan→project with NO exchange of any kind
+        Seq("Project"),
+        "winnowing never shuffles; selection is per-row",
+        mustNotContain = Seq("Exchange", "Join", "Window")),
+
+      Check("co-occurrence: partial agg + total-ordered head",
+        s => graft.SparkEntry.queries("q_cooc_pairs")(s, sfDir),
+        // the pair explode feeds a map-side-combined HashAggregate and the
+        // head is TakeOrderedAndProject, never a global sort + limit
+        Seq("partial_count", "TakeOrderedAndProject"),
+        "pair counts combine map-side; top-n avoids the global sort",
+        mustNotContain = Seq("CartesianProduct"))
     )
 
     var failures = 0
