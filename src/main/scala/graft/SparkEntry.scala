@@ -716,6 +716,14 @@ object SparkEntry {
       operators.Curation.c4Clean(
         t(s, d, "documents").select(col("doc_id"), c4PlantedText.as("text")))),
 
+    // C4 badwords rule: dictionary blocklist over whitespace tokens —
+    // per-doc flag counts, the first offending token (audit sample), and
+    // the keep verdict; the dictionary rides the plan as a literal array
+    // (one narrow pass, zero shuffles)
+    "q_blocklist" -> ((s, d) =>
+      operators.Curation.blocklistFilter(
+        t(s, d, "documents"), Seq("slow", "merge", "stream"))),
+
     // temperature mixture resampling (α=0.5): per-language rate table,
     // then the deterministic ppm-hash sample it induces — flattens the
     // source distribution the way training-data mixes are rebalanced
@@ -2157,6 +2165,25 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // blocklist: same token split, same dictionary membership, same
+    // first-offender pick (document order) and keep verdict
+    "q_blocklist" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> x <> '') AS tk
+          FROM documents),
+        f AS (
+          SELECT doc_id, tk,
+            list_filter(tk, x -> list_contains(['merge','slow','stream'], x)) AS fl
+          FROM toks)
+        SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(fl) AS BIGINT) AS n_flagged,
+          CASE WHEN len(fl) > 0 THEN fl[1] ELSE '' END AS first_flagged,
+          len(fl) = 0 AS keep_doc
+        FROM f""",
 
     // LM perplexity buckets: full model replica — same tokenization, same
     // bigram/head/vocab counts over the doc_id%5 train slice, same add-k

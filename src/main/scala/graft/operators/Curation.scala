@@ -147,6 +147,44 @@ object Curation {
       array_join(kept, "\n").as("text_clean"))
   }
 
+  /** Dictionary blocklist filtering (the C4 §2.2 "bad words" rule, Raffel
+    * et al. 2020; RefinedWeb and Gopher run the same shape with larger
+    * per-language lists): flag every document whose token stream contains
+    * a blocklisted word. Emits one row per INPUT document —
+    * (id, n_tokens, n_flagged, first_flagged, keep_doc) — so the caller
+    * audits what the filter removes instead of silently losing rows
+    * (the drop-reason discipline of [[c4Clean]]).
+    *
+    * Matching is exact on whitespace tokens of the lowercased text — the
+    * auditable contract (a substring match would flag "scrape" for
+    * "rape"-class entries; C4 matches words). `first_flagged` is the first
+    * offending token in document order, the audit sample.
+    *
+    * Scale shape: real blocklists are bounded (C4's list is ~400 entries,
+    * the multi-language union a few thousand) so the dictionary rides the
+    * plan as a literal array and the whole filter is one narrow codegen'd
+    * column pass — zero shuffles, scan-speed at 100 TB. For a dictionary
+    * too large to inline, swap the membership test for a broadcast-Bloom
+    * probe ([[Dedup.bloomNewDocs]] shape) — still one map-only pass.
+    */
+  def blocklistFilter(
+      df: DataFrame,
+      blocklist: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
+    val dict = lit(blocklist.map(_.toLowerCase).distinct.sorted.toArray)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), x => x =!= lit(""))
+    val flagged = filter(toks, x => array_contains(dict, x))
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(flagged).cast("long").as("n_flagged"),
+      when(size(flagged) > 0, element_at(flagged, 1)).otherwise(lit(""))
+        .as("first_flagged"),
+      (size(flagged) === 0).as("keep_doc"))
+  }
+
   /** Cross-document line deduplication (the CCNet/RefinedWeb boilerplate
     * pass): drop every non-blank line that appears in more than
     * `maxDupDocs` distinct documents (navigation chrome, cookie banners,

@@ -131,6 +131,24 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(!out(4)._4 && !out(5)._4) // lorem ipsum / brace pages dropped
   }
 
+  test("blocklistFilter: exact token matches, first offender, keep verdict") {
+    val df = Seq(
+      (1L, "clean words only here"),                 // no hits → keep
+      (2L, "the BADWORD appears once"),              // case-folded hit
+      (3L, "badword then also verboten and badword"),// 3 hits, first in doc order
+      (4L, "embedbadword is not a token match"),     // substring must NOT flag
+      (5L, "")                                       // empty doc → keep, 0 tokens
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistFilter(df, Seq("badword", "VERBOTEN"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Boolean)].collect()
+    assert(out(0) == ((1L, 4L, 0L, "", true)))
+    assert(out(1) == ((2L, 4L, 1L, "badword", false)))
+    assert(out(2) == ((3L, 6L, 3L, "badword", false)), "all hits counted, first in doc order")
+    assert(out(3) == ((4L, 6L, 0L, "", true)), "token-exact: substrings never flag")
+    assert(out(4) == ((5L, 0L, 0L, "", true)))
+  }
+
   test("temperatureRates: α=0.5 weights, ppm floor, cap at 1e6; sample honors the rates") {
     // strata: a=400 docs, b=100, c=4 → √n = 20, 10, 2; Σ√n = 32
     val df = ((0 until 400).map(i => (i.toLong, "a")) ++
