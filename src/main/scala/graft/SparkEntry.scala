@@ -1183,6 +1183,23 @@ object SparkEntry {
       pqRecallGate(s)((qs, codes, model) =>
         operators.Pq.ivfAdcTopK(qs, codes, model, topK = 10, nProbe = 4))),
 
+    // SQ8 scalar quantization (the int8-embeddings memory lever, FAISS SQ8):
+    // per-dimension affine codes from corpus min/max stats. Every step is a
+    // correctly-rounded IEEE double op in a mirrored order, so the oracle
+    // recomputes the codes EXACTLY in SQL — full-strength per-vector digest
+    // compare (count + plain and position-weighted code sums), not a gate.
+    "q_sq8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val stats = operators.Pq.sqStats(emb)
+      operators.Pq.sqEncode(emb, stats)
+        .select(col("vec_id"),
+          size(col("codes")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c.cast("long"))
+            .as("code_sum"),
+          aggregate(transform(col("codes"), (c, i) => (i + 1).cast("long") * c.cast("long")),
+            lit(0L), (acc, w) => acc + w).as("code_wsum"))
+    }),
+
     // ---- multimodal plumbing (decode stubbed; rows-only) ----
 
     "q_media_features" -> ((s, d) => {
@@ -2710,6 +2727,23 @@ object SparkEntry {
 
     "q_ivfadc_recall" ->
       """SELECT 10::BIGINT AS n_queries, true AS recall_ok""",
+
+    // SQ8: full-strength oracle — recompute the per-dimension min/max and
+    // every affine code exactly (identical IEEE double expression order),
+    // then the same integer digests
+    "q_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        d AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS i, unnest(v) AS x FROM e),
+        st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+        q AS (SELECT vec_id, d.i AS i,
+                CASE WHEN mx > mn THEN least(255, greatest(0,
+                  CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)))
+                ELSE 0 END AS c
+              FROM d JOIN st ON d.i = st.i)
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+          CAST(sum(c) AS BIGINT) AS code_sum,
+          CAST(sum(i * c) AS BIGINT) AS code_wsum
+        FROM q GROUP BY vec_id""",
 
     "q_sketch_gate" ->
       """SELECT true AS cd_supp_ok, true AS cd_order_ok, true AS median_ok""",

@@ -25,6 +25,79 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Per-dimension (min, max) for scalar quantization, bounded by the
+    * embedding dimensionality. One partial-agg pass: the posexplode is
+    * narrow and every partition pre-reduces to ≤ dim rows before the
+    * dim-keyed shuffle, so the collect is O(dim) regardless of corpus
+    * size — the same bounded-driver-state contract as the IVF pivots.
+    */
+  def sqStats(corpus: DataFrame, vecCol: String = "embedding"): Array[(Double, Double)] =
+    corpus.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("i"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Scalar (int8-style) quantization — the OTHER memory lever next to PQ:
+    * per-dimension affine codes `q_i = floor((x_i − min_i)·maxCode /
+    * (max_i − min_i) + 0.5)` clamped to [0, maxCode], with constant
+    * dimensions pinned to code 0. At maxCode = 255 a float32 corpus
+    * shrinks 4× with reconstruction error bounded by half a step per
+    * dimension ((max−min)/(2·maxCode)) — the format FAISS calls SQ8 and
+    * vector stores ship as "int8 embeddings". Unlike PQ the codes preserve
+    * per-dimension structure, so range filters and ADC-style integer dot
+    * products work directly on the compressed column.
+    *
+    * Returns (idCol, codes array<int>). The stats ride the plan as one
+    * literal array each, so encoding is a narrow codegen'd pass — zero
+    * shuffles at any corpus size. Every arithmetic step is a correctly-
+    * rounded IEEE double op in a fixed order, so codes are bit-identical
+    * across partitionings, runs, and engines (the q_sq8 oracle recomputes
+    * them exactly in SQL).
+    */
+  def sqEncode(
+      corpus: DataFrame,
+      stats: Array[(Double, Double)],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCode: Int = 255): DataFrame = {
+    require(maxCode >= 1, "sqEncode: maxCode must be >= 1")
+    val mins = lit(stats.map(_._1))
+    val maxs = lit(stats.map(_._2))
+    corpus.select(
+      col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(mins, i + 1)
+        val mx = element_at(maxs, i + 1)
+        when(mx > mn,
+          least(lit(maxCode), greatest(lit(0),
+            floor((x.cast("double") - mn) * lit(maxCode.toDouble) / (mx - mn) + lit(0.5))
+              .cast("int"))))
+          .otherwise(lit(0))
+      }).as("codes"))
+  }
+
+  /** Midpoint reconstruction of [[sqEncode]] codes:
+    * `x̂_i = min_i + q_i·(max_i − min_i)/maxCode`. Error per dimension is
+    * within half a quantization step (PqSpec asserts the bound). */
+  def sqDecode(
+      codes: DataFrame,
+      stats: Array[(Double, Double)],
+      idCol: String = "vec_id",
+      codesCol: String = "codes",
+      maxCode: Int = 255): DataFrame = {
+    val mins = lit(stats.map(_._1))
+    val maxs = lit(stats.map(_._2))
+    codes.select(
+      col(idCol),
+      transform(col(codesCol), (q, i) => {
+        val mn = element_at(mins, i + 1)
+        val mx = element_at(maxs, i + 1)
+        (mn + q.cast("double") * (mx - mn) / lit(maxCode.toDouble)).cast("float")
+      }).as("vec_approx"))
+  }
+
   final case class Params(
       m: Int = 8, // subspaces
       k: Int = 16, // codes per subspace

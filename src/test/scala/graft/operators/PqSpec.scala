@@ -88,4 +88,38 @@ class PqSpec extends AnyFunSuite {
     val recall = probed2.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count() / 50.0
     assert(recall >= 0.5, s"nProbe=4 recall $recall collapsed")
   }
+
+  test("sqEncode: hand-computed codes, constant dims pinned to 0, endpoints clamp") {
+    val df = Seq(
+      (1L, Array(0f, 10f, 7f)),
+      (2L, Array(5f, 5f, 7f)),
+      (3L, Array(10f, 0f, 7f))).toDF("vec_id", "embedding")
+    val stats = Pq.sqStats(df)
+    assert(stats.toSeq == Seq((0.0, 10.0), (0.0, 10.0), (7.0, 7.0)))
+    val codes = Pq.sqEncode(df, stats, maxCode = 10)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) == Seq(0, 10, 0)) // min→0, max→maxCode, constant dim→0
+    assert(codes(2L) == Seq(5, 5, 0))  // midpoint → mid code
+    assert(codes(3L) == Seq(10, 0, 0))
+  }
+
+  test("sq round-trip error is within half a quantization step; codes partition-invariant") {
+    val corpus = clustered(8, 16, 12, noise = 0.5f, seed = 11).localCheckpoint(true)
+    val stats = Pq.sqStats(corpus)
+    val codes = Pq.sqEncode(corpus, stats)
+    // reconstruction bound: |x − x̂| ≤ (max−min)/(2·255) per dimension
+    val joined = Pq.sqDecode(codes, stats)
+      .join(corpus, "vec_id")
+      .as[(Long, Seq[Float], Seq[Float])].collect()
+    joined.foreach { case (_, approx, orig) =>
+      orig.indices.foreach { i =>
+        val step = (stats(i)._2 - stats(i)._1) / 255.0
+        assert(math.abs(orig(i) - approx(i)) <= step / 2 + 1e-9,
+          s"dim $i error ${math.abs(orig(i) - approx(i))} exceeds half-step $step")
+      }
+    }
+    // bit-identical codes under a different partitioning
+    val again = Pq.sqEncode(corpus.repartition(7), stats)
+    assert(codes.exceptAll(again).isEmpty && again.exceptAll(codes).isEmpty)
+  }
 }
