@@ -1330,6 +1330,23 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("id")).limit(10)
     }),
 
+    // personalized PageRank around the max-out-degree hub (the GraphRAG
+    // "expand around the query entities" scorer): decimal arithmetic is
+    // bit-deterministic, so the rounded top-10 is a pinned constant; the
+    // seed itself is excluded (its teleport mass dwarfs the neighborhood)
+    "kg_ppr_top" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      val e = kgSimpleEdges(st).localCheckpoint(true)
+      val seed = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("src")).limit(1)
+        .select(col("src").as("id"))
+      operators.GraphAlgos.personalizedPageRank(e, seed, iterations = 10)
+        .join(seed, Seq("id"), "left_anti")
+        .select(col("id"), round(col("rank").cast("double"), 9).as("ppr"))
+        .where(col("ppr") > 0)
+        .orderBy(col("ppr").desc, col("id")).limit(10)
+    }),
+
     // BFS reachability histogram from the max-out-degree hub (ties by id)
     "kg_bfs_hops" -> ((s, d) => {
       import s.implicits._
@@ -2812,6 +2829,22 @@ object SparkEntry {
           ('posube_rosube', 0.018897962::DOUBLE),
           ('city_of_fisubeville', 0.018793737::DOUBLE),
           ('kurabe_corporation', 0.018733231::DOUBLE)) t(id, pr)""",
+
+    // personalized PageRank around the hub: decimal arithmetic is
+    // bit-deterministic (GraphAlgosSpec pins PPR(all-seeds) ≡ PageRank
+    // bit-for-bit), so the rounded neighborhood ranking is a constant
+    "kg_ppr_top" ->
+      """SELECT * FROM (VALUES
+          ('virabe_zirabe', 0.021189923::DOUBLE),
+          ('city_of_kulubeville', 0.020759137::DOUBLE),
+          ('vigube_zigube', 0.020555809::DOUBLE),
+          ('batube_corporation', 0.019781288::DOUBLE),
+          ('menabe_corporation', 0.019234705::DOUBLE),
+          ('city_of_pobubeville', 0.019085364::DOUBLE),
+          ('banabe_danabe', 0.018816597::DOUBLE),
+          ('vinube_corporation', 0.018605846::DOUBLE),
+          ('city_of_vinabeville', 0.018516554::DOUBLE),
+          ('city_of_metubeville', 0.018382459::DOUBLE)) t(id, ppr)""",
 
     "kg_bfs_hops" ->
       """SELECT * FROM (VALUES

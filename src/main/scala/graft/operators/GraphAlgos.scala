@@ -98,6 +98,72 @@ object GraphAlgos {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed set —
+    * rank(v) = (1−d)·p(v) + d·Σ_{u→v} rank(u)/outdeg(u) with p uniform over
+    * seeds and zero elsewhere (Jeh & Widom, WWW'03; TigerGraph ships the
+    * same as tg_pagerank_pers). Ranks measure proximity TO the seeds —
+    * this is the principled "expand around the query entities" scorer for
+    * GraphRAG-style retrieval: where [[bfsDistances]] counts hops,
+    * PPR weights them by path multiplicity and decay, so it ranks within a
+    * hop level. Same scale and determinism discipline as [[pageRank]]:
+    * per-iteration shuffles keyed by vertex id only, exact decimal
+    * accumulation (bit-identical across partitionings — pinned-constant
+    * oracle safe), localCheckpoint truncation.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val seedIds = seeds.select(col("id")).distinct().localCheckpoint(true)
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(seedIds.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val dDec = new java.math.BigDecimal(damping.toString)
+    val dampingType = {
+      val dp = math.max(dDec.precision, dDec.scale)
+      require(dp + 21 <= 38, s"damping $damping too precise for exact decimal arithmetic")
+      s"decimal($dp,${dDec.scale})"
+    }
+    val base = (BigDecimal(1) - BigDecimal(dDec)) / BigDecimal(nSeeds)
+    val init = (BigDecimal(1) / BigDecimal(nSeeds)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val zero = lit(BigDecimal(0).bigDecimal).cast(D)
+    val baseCol = when(col("is_seed"),
+      lit(base.setScale(18, BigDecimal.RoundingMode.HALF_UP).bigDecimal).cast(D))
+      .otherwise(zero)
+    val outDeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("out_deg")).localCheckpoint(true)
+
+    var ranks = nodes
+      .select(col("id"),
+        when(col("is_seed"), lit(init.bigDecimal).cast(D)).otherwise(zero).as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).cast(D).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).cast(D).as("in_sum"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (baseCol + (lit(dDec).cast(dampingType) *
+              coalesce(col("in_sum"), zero)).cast(D))
+            .cast(D).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
   /** Global triangle count over the undirected simple graph — one row
     * (n_edges, n_triangles). Edge-iterator formulation: orient every edge
     * low→high, join wedges (a<b<c) against the closing edge — each

@@ -56,6 +56,30 @@ class GraphAlgosSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(v.compareTo(b(k)) == 0, s"node $k: $v vs ${b(k)}") }
   }
 
+  test("personalizedPageRank: mass decays from the seed; unreachable nodes get 0") {
+    // path a→b→c plus an isolated edge x→y unreachable from the seed
+    val ranks = GraphAlgos.personalizedPageRank(
+        edges("a" -> "b", "b" -> "c", "x" -> "y"),
+        Seq("a").toDF("id"), iterations = 10)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    val (a, b, c) = (ranks("a").doubleValue(), ranks("b").doubleValue(), ranks("c").doubleValue())
+    assert(a > b && b > c && c > 0, s"proximity order broken: $a $b $c")
+    assert(ranks("x").doubleValue() == 0.0 && ranks("y").doubleValue() == 0.0,
+      "teleport mass must never reach nodes unreachable from the seeds")
+    // only the seed receives teleport: a = 0.15 exactly (b,c contribute nothing back)
+    assert(ranks("a").compareTo(new java.math.BigDecimal("0.15").setScale(18)) == 0)
+  }
+
+  test("personalizedPageRank with seeds = all nodes equals uniform pageRank bit-for-bit") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "c" -> "b")
+    val all = Seq("a", "b", "c").toDF("id")
+    val ppr = GraphAlgos.personalizedPageRank(e, all, iterations = 8)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    val pr = GraphAlgos.pageRank(e, iterations = 8)
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    pr.foreach { case (k, v) => assert(ppr(k).compareTo(v) == 0, s"$k: ${ppr(k)} != $v") }
+  }
+
   test("bfsDistances: hop counts on a path, maxHops bound respected") {
     val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
     val seeds = Seq("a").toDF("id")
