@@ -1347,6 +1347,22 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("id")).limit(10)
     }),
 
+    // k-core peel summary of the entity graph: (k, surviving nodes, sum of
+    // in-core degrees = 2·core edges) across the k ladder — the
+    // dense-nucleus profile of the KG (the graph is dense: the profile
+    // only starts shedding above its degeneracy shoulder); exact peel
+    // fixpoints on the pinned corpus
+    "kg_kcore" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      val e = kgSimpleEdges(st).localCheckpoint(true)
+      Seq(2, 16, 18, 20, 22).map { k =>
+        operators.GraphAlgos.kCore(e, k)
+          .agg(count(lit(1)).as("n_core_nodes"),
+            coalesce(sum(col("core_degree")), lit(0L)).as("sum_core_degree"))
+          .select(lit(k.toLong).as("k"), col("n_core_nodes"), col("sum_core_degree"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // BFS reachability histogram from the max-out-degree hub (ties by id)
     "kg_bfs_hops" -> ((s, d) => {
       import s.implicits._
@@ -2829,6 +2845,17 @@ object SparkEntry {
           ('posube_rosube', 0.018897962::DOUBLE),
           ('city_of_fisubeville', 0.018793737::DOUBLE),
           ('kurabe_corporation', 0.018733231::DOUBLE)) t(id, pr)""",
+
+    // k-core ladder: exact peel fixpoints — 61 nodes hold to k=16, partial
+    // sheds at 18/20 (cascade working), total collapse at 22 (degeneracy
+    // shoulder of the pinned entity graph)
+    "kg_kcore" ->
+      """SELECT * FROM (VALUES
+          (2::BIGINT, 61::BIGINT, 1582::BIGINT),
+          (16::BIGINT, 61::BIGINT, 1582::BIGINT),
+          (18::BIGINT, 60::BIGINT, 1550::BIGINT),
+          (20::BIGINT, 56::BIGINT, 1402::BIGINT),
+          (22::BIGINT, 0::BIGINT, 0::BIGINT)) t(k, n_core_nodes, sum_core_degree)""",
 
     // personalized PageRank around the hub: decimal arithmetic is
     // bit-deterministic (GraphAlgosSpec pins PPR(all-seeds) ≡ PageRank

@@ -186,6 +186,47 @@ object GraphAlgos {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** k-core of the undirected simple graph: the maximal subgraph in which
+    * every vertex has degree ≥ k (Seidman 1983; TigerGraph ships the same
+    * peel as tg_kcore). Returns (id, core_degree) for the surviving
+    * vertices — the standard dense-nucleus extractor for a web-scale KG:
+    * entities surviving a high k are the structurally load-bearing ones,
+    * and peeling off the 1-core drops extraction-noise pendants.
+    *
+    * Iterative peel: drop all vertices under degree k, recompute, repeat to
+    * fixpoint — each round is one partial-agg degree count plus two
+    * semi-joins, everything keyed by vertex id only (no payload columns);
+    * localCheckpoint truncates lineage per round. Rounds are bounded by the
+    * peel depth (the degeneracy ordering's layer count), a small constant
+    * on power-law graphs — and each round SHRINKS the edge set, so unlike
+    * fixed-iteration PageRank the work contracts as it converges.
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("s"), greatest(col("src"), col("dst")).as("t"))
+      .where(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    var before = e.count()
+    var changed = before > 0
+    while (changed) {
+      val keep = e.select(col("s").as("id")).unionByName(e.select(col("t").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("id"))
+        .localCheckpoint(true)
+      val next = e
+        .join(keep.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+        .join(keep.withColumnRenamed("id", "t"), Seq("t"), "left_semi")
+        .localCheckpoint(true)
+      val after = next.count()
+      changed = after < before && after > 0
+      before = after
+      e = next
+    }
+    e.select(col("s").as("id")).unionByName(e.select(col("t").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Multi-source BFS hop distances: (id, dist) for every vertex reachable
     * from `seeds` within `maxHops` (seeds at dist 0). Frontier loop with
     * anti-join de-visit; the frontier is ids only. Early-exits on an empty

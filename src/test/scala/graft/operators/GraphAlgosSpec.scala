@@ -98,6 +98,33 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("kCore: K4 plus a pendant — 3-core is exactly the K4; peel cascades on a path") {
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+    val e = (k4 :+ ("d" -> "e")).toDF("src", "dst")
+    val core3 = GraphAlgos.kCore(e, 3).as[(String, Long)].collect().toMap
+    assert(core3 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      "pendant e must peel off and d's degree drops back to 3")
+    // path graph: every 2-core peel cascades from the endpoints → empty
+    val path = Seq("p1" -> "p2", "p2" -> "p3", "p3" -> "p4").toDF("src", "dst")
+    assert(GraphAlgos.kCore(path, 2).isEmpty)
+    // 5-cycle is its own 2-core
+    val cyc = Seq("c1" -> "c2", "c2" -> "c3", "c3" -> "c4", "c4" -> "c5", "c5" -> "c1")
+      .toDF("src", "dst")
+    val core2 = GraphAlgos.kCore(cyc, 2).as[(String, Long)].collect().toMap
+    assert(core2.keySet.size == 5 && core2.values.forall(_ == 2L))
+  }
+
+  test("kCore result is maximal: every member keeps >= k neighbors inside the core") {
+    val e = (0 until 200).flatMap { i =>
+      Seq((s"n$i", s"n${(i * 7 + 1) % 200}"), (s"n$i", s"n${(i * 13 + 3) % 200}"),
+        (s"n$i", s"n${(i * 29 + 11) % 200}"))
+    }.toDF("src", "dst")
+    val core = GraphAlgos.kCore(e, 3)
+    assert(core.where($"core_degree" < 3).isEmpty, "k-core invariant violated")
+    // and it is non-trivial on this 3-out graph
+    assert(core.count() > 0)
+  }
+
   test("triangleCount: K4 has 4 triangles; duplicates/reversals collapse") {
     val k4 = for {
       a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a != b
