@@ -885,6 +885,19 @@ object SparkEntry {
       operators.GraphAlgos.triangleCount(edges)
     }),
 
+    // global clustering (transitivity) profile of the same co-supply graph:
+    // exact wedge and closed-wedge integers (the coefficient is their
+    // ratio) — fully SQL-recomputable, unlike most graph metrics
+    "q_clustering" -> ((s, d) => {
+      val hi = t(s, d, "lineitem").where(col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = hi.as("a").join(hi.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      operators.GraphAlgos.clusteringProfile(edges)
+    }),
+
     // PageRank determinism gate: fixed planted graph (200 nodes, two affine
     // rings + every (i%10==1) node feeding hub 0; DEDUPED — the two affine
     // maps collide for i=33/133 and pageRank's contract is simple-graph
@@ -1361,6 +1374,29 @@ object SparkEntry {
             coalesce(sum(col("core_degree")), lit(0L)).as("sum_core_degree"))
           .select(lit(k.toLong).as("k"), col("n_core_nodes"), col("sum_core_degree"))
       }.reduce(_.unionByName(_))
+    }),
+
+    // label propagation on a planted community graph: doc_ids grouped into
+    // cliques of 5 plus a bridge edge between consecutive cliques — LPA
+    // must recover every clique (bridges lose the vote 1:4) and never
+    // merge across them; histogram (community_size, n_communities) is the
+    // exact recovery certificate. (The KG entity graph itself is near-
+    // complete at this scale — LPA's known dense-graph failure mode — so
+    // the gate plants the structure the operator is FOR.)
+    "q_lpa" -> ((s, d) => {
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          floor(col("doc_id") / 5).as("grp"))
+      val cliques = ids.as("a").join(ids.as("b"),
+          col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val bridges = ids.where(col("id") % 5 === 4)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      operators.GraphAlgos.labelPropagation(cliques.unionByName(bridges))
+        .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        .groupBy(col("community_size")).agg(count(lit(1)).as("n_communities"))
     }),
 
     // BFS reachability histogram from the max-out-degree hub (ties by id)
@@ -2819,6 +2855,36 @@ object SparkEntry {
           JOIN pairs e3 ON e3.s = e1.s AND e3.t = e2.t)
         SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
           n_triangles::BIGINT AS n_triangles FROM tri""",
+
+    // LPA planted-community recovery: doc_ids are contiguous from 0, so the
+    // plant is exactly n/5 cliques of 5 — the oracle states the full
+    // recovery certificate (one histogram row: every clique intact)
+    "q_lpa" ->
+      """SELECT 5::BIGINT AS community_size,
+          (count(*) // 5)::BIGINT AS n_communities FROM documents""",
+
+    // clustering profile: same pair graph as q_supplier_triangles plus the
+    // exact degree-wedge sum (integral // so no float rounding)
+    "q_clustering" ->
+      """WITH hi AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 49),
+        pairs AS (
+          SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS s,
+            greatest(a.l_suppkey, b.l_suppkey) AS t
+          FROM hi a JOIN hi b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        deg AS (
+          SELECT id, count(*) AS deg FROM (
+            SELECT s AS id FROM pairs UNION ALL SELECT t AS id FROM pairs)
+          GROUP BY id),
+        tri AS (
+          SELECT count(*) AS n_triangles
+          FROM pairs e1 JOIN pairs e2 ON e1.t = e2.s
+          JOIN pairs e3 ON e3.s = e1.s AND e3.t = e2.t)
+        SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+          (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+          (SELECT sum(deg * (deg - 1)) // 2 FROM deg)::BIGINT AS n_wedges,
+          (SELECT n_triangles * 3 FROM tri)::BIGINT AS n_closed_wedges""",
 
     // graph-analytics gates over the pinned corpus / planted graph: decimal
     // PageRank is bit-deterministic, so the rounded ranks are constants —

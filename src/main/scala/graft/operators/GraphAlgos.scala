@@ -186,6 +186,51 @@ object GraphAlgos {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007; the
+    * cheap one-pass-per-round alternative to [[graft.community.Louvain]]
+    * when modularity optimality is not worth the convergence loop — e.g.
+    * a first-cut blocking key for entity resolution at full-web scale).
+    * Synchronous variant with a deterministic vote: each round every node
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLEST label (classic LPA breaks ties randomly — useless for
+    * reproducible pipelines; the deterministic tie is the same
+    * total-order discipline as the R2 canonical pick). Runs to label
+    * fixpoint or `maxIters` (synchronous LPA can 2-cycle on bipartite
+    * structure; the bound terminates it).
+    *
+    * Scale shape per round: one edge×label join + one (node, label)
+    * partial-agg count + one min_by vote per node — all shuffles keyed by
+    * vertex id, labels are the only payload. localCheckpoint per round.
+    */
+  def labelPropagation(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("s"), greatest(col("src"), col("dst")).as("t"))
+      .where(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    val both = und.select(col("s").as("src"), col("t").as("dst"))
+      .unionByName(und.select(col("t").as("src"), col("s").as("dst")))
+      .localCheckpoint(true)
+    var labels = both.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var i = 0
+    var changed = true
+    while (i < maxIters && changed) {
+      val votes = both
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(min_by(col("label"), struct((-col("cnt")).as("nc"), col("label"))).as("label"))
+      val next = votes.localCheckpoint(true)
+      val nChanged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      changed = nChanged > 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** k-core of the undirected simple graph: the maximal subgraph in which
     * every vertex has degree ≥ k (Seidman 1983; TigerGraph ships the same
     * peel as tg_kcore). Returns (id, core_degree) for the surviving
@@ -225,6 +270,34 @@ object GraphAlgos {
     }
     e.select(col("s").as("id")).unionByName(e.select(col("t").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Global clustering profile of the undirected simple graph — one row
+    * (n_nodes, n_edges, n_wedges, n_closed_wedges): n_wedges =
+    * Σ_v deg(v)·(deg(v)−1)/2, n_closed_wedges = 3·triangles. The global
+    * clustering coefficient (transitivity) is closed/wedges — emitted as
+    * the two EXACT integers rather than the ratio, so the result
+    * hash-compares across engines; the division is the caller's one line.
+    * Same triangle join as [[triangleCount]] plus one degree aggregate;
+    * the integral `div` keeps the wedge count exact where a double
+    * division would round past 2^53 on a web-scale degree sequence.
+    */
+  def clusteringProfile(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("s"), greatest(col("src"), col("dst")).as("t"))
+      .where(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("s").as("id")).unionByName(und.select(col("t").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val e1 = und.select(col("s").as("a"), col("t").as("b"))
+    val e2 = und.select(col("s").as("b"), col("t").as("c"))
+    val e3 = und.select(col("s").as("a"), col("t").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg((count(lit(1)) * 3).as("n_closed_wedges")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_closed_wedges"))
   }
 
   /** Multi-source BFS hop distances: (id, dist) for every vertex reachable

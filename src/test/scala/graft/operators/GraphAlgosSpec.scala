@@ -98,6 +98,22 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(d == Map("a" -> 0L, "z" -> 0L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("labelPropagation: two bridged cliques split; labels deterministic across partitionings") {
+    val clique = (ns: Seq[String]) => for { a <- ns; b <- ns if a < b } yield (a, b)
+    val e = (clique(Seq("a", "b", "c", "d")) ++ clique(Seq("e", "f", "g", "h")) :+
+      ("d" -> "e")).toDF("src", "dst")
+    val labels = GraphAlgos.labelPropagation(e).as[(String, String)].collect().toMap
+    assert(labels.size == 8)
+    // each clique interior is uniform, and the two cliques differ
+    assert(Set(labels("a"), labels("b"), labels("c")).size == 1)
+    assert(Set(labels("f"), labels("g"), labels("h")).size == 1)
+    assert(labels("a") != labels("f"), "bridged cliques must not merge")
+    // deterministic under a different partitioning
+    val again = GraphAlgos.labelPropagation(
+      e.repartition(5)).as[(String, String)].collect().toMap
+    assert(again == labels)
+  }
+
   test("kCore: K4 plus a pendant — 3-core is exactly the K4; peel cascades on a path") {
     val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
     val e = (k4 :+ ("d" -> "e")).toDF("src", "dst")
@@ -132,6 +148,18 @@ class GraphAlgosSpec extends AnyFunSuite {
     val e = (k4 ++ Seq(("a", "b"), ("d", "e"))).toDF("src", "dst") // dup + pendant
     val r = GraphAlgos.triangleCount(e).as[(Long, Long)].head()
     assert(r == ((7L, 4L)), s"got $r") // 6 K4 edges + pendant; C(4,3)=4 triangles
+  }
+
+  test("clusteringProfile: K4 is fully transitive; a path has open wedges only") {
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+      .toDF("src", "dst")
+    val p = GraphAlgos.clusteringProfile(k4)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(p == ((4L, 6L, 12L, 12L)), s"K4: 12 wedges all closed, got $p")
+    val path = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    val q = GraphAlgos.clusteringProfile(path)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(q == ((3L, 2L, 1L, 0L)), s"path: one open wedge, got $q")
   }
 
   test("degreeStats on a known graph") {
