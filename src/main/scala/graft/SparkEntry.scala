@@ -955,6 +955,15 @@ object SparkEntry {
           t(s, d, "embeddings"), "label", "vec_id")
         .select(col("label"), col("n_vecs"), col("dim"), col("norm"), col("c0"))),
 
+    // JL random projection 64→16 (FNV-sign Achlioptas matrix): every
+    // projected component bit-compared against the DuckDB replica — it
+    // recomputes the sign table from the same "j:i" FNV fingerprints and
+    // folds the dot product in the same ascending-i order
+    "q_rp" -> ((s, d) =>
+      graft.extract.Embeddings.randomProject(t(s, d, "embeddings"), dim = 64, k = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))),
+
     // Lee-et-al-style repeated-substring coverage: per-doc fraction of
     // token positions inside an 8-token window shared with another doc —
     // exact SQL recompute oracle (same tokenization, same interval union)
@@ -3040,6 +3049,37 @@ object SparkEntry {
             list_transform(centroid, x -> x * x)), (a, b) -> a + b)) AS norm,
           centroid[1] AS c0
         FROM c""",
+
+    // JL random projection: recompute the FNV sign table from the same
+    // "j:i" strings — sign = popcount parity of the 64-bit hash (bit_count
+    // over the signed reinterpretation counts the identical bit pattern) —
+    // then the dot-product fold in the same ascending-i left-assoc order:
+    // every double bit-identical
+    "q_rp" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        h0 AS (
+          SELECT j.range AS j, i.range AS i,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(
+                  range(1, length(CAST(j.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)) + 1),
+                  p -> unicode(substr(CAST(j.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR), p, 1))::HUGEINT)),
+              (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS h
+          FROM range(16) j CROSS JOIN range(64) i),
+        sgn AS (
+          SELECT j, i,
+            CASE WHEN bit_count(CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT))
+                 % 2 = 0
+            THEN 1.0 ELSE -1.0 END AS s
+          FROM h0),
+        sl AS (SELECT j, list(s ORDER BY i) AS ss FROM sgn GROUP BY j)
+        SELECT e.vec_id, sl.j,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, 65), i -> v[i] * ss[i])),
+            (a, b) -> a + b) / sqrt(16) AS y
+        FROM e CROSS JOIN sl""",
 
     // repeated-substring coverage: same tokenization as q_token_count
     // (minus empties), 8-token windows, cross-doc distinct-count >= 2,

@@ -210,6 +210,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("randomProject: JL norms concentrate near 1, exact hand fold, partition-invariant bits") {
+    import graft.extract.Embeddings
+    import graft.operators.TextStats
+    val dim = 32
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = Embeddings.randomProject(df, dim = dim, k = 16)
+    // norm preservation in the JL sense: mean squared-norm ratio near 1
+    val ratios = proj.join(df, "vec_id")
+      .as[(Long, Seq[Double], Seq[Float])].collect().map { case (_, y, x) =>
+        y.map(v => v * v).sum / x.map(v => v.toDouble * v).sum
+      }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"mean norm ratio $mean drifted")
+    // exact hand fold for one row: same signs, same order, same bits
+    val x0 = df.where($"vec_id" === 0L).as[(Long, Seq[Float])].collect().head._2
+    val expected0 = (0 until dim).foldLeft(0.0) { (acc, i) =>
+      val s =
+        if ((java.lang.Long.bitCount(TextStats.fingerprint64(s"0:$i")) & 1) == 0) 1.0
+        else -1.0
+      acc + x0(i).toDouble * s
+    } / math.sqrt(16.0)
+    val got0 = proj.where($"vec_id" === 0L)
+      .as[(Long, Seq[Double])].collect().head._2.head
+    assert(got0 == expected0, s"bit drift: $got0 != $expected0")
+    // bit-identical under a different partitioning
+    val again = Embeddings.randomProject(df.repartition(7), dim = dim, k = 16)
+    assert(proj.exceptAll(again).isEmpty && again.exceptAll(proj).isEmpty)
+  }
+
   test("termStats: top-k by tf with df, deterministic tie-break") {
     val df = Seq(
       (1L, "the cat and the dog"),
