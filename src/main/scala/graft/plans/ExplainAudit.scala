@@ -241,7 +241,29 @@ object ExplainAudit {
         // head is TakeOrderedAndProject, never a global sort + limit
         Seq("partial_count", "TakeOrderedAndProject"),
         "pair counts combine map-side; top-n avoids the global sort",
-        mustNotContain = Seq("CartesianProduct"))
+        mustNotContain = Seq("CartesianProduct")),
+
+      Check("blocklist filter is a pure narrow pass",
+        s => graft.SparkEntry.queries("q_blocklist")(s, sfDir),
+        // the dictionary rides the plan as a literal array: scan→project,
+        // no exchange, no join — the dictionary must NEVER become a join side
+        Seq("Project"),
+        "the dictionary is plan-literal; the corpus never shuffles",
+        mustNotContain = Seq("Exchange", "Join")),
+
+      Check("SQ8 encode is a narrow pass over literal stats",
+        // sqStats' collect happens at build time (bounded by dim); the
+        // RETURNED encode plan must be a pure projection
+        s => graft.SparkEntry.queries("q_sq8")(s, sfDir),
+        Seq("Project"),
+        "min/max stats are plan literals; the encode never shuffles",
+        mustNotContain = Seq("Exchange", "Join")),
+
+      Check("JL projection is a narrow pass over the literal sign table",
+        s => graft.SparkEntry.queries("q_rp")(s, sfDir),
+        Seq("Project", "Generate"),
+        "the sign matrix is a plan literal; project+posexplode never shuffle",
+        mustNotContain = Seq("Exchange", "Join"))
     )
 
     var failures = 0
