@@ -1369,6 +1369,15 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("id")).limit(10)
     }),
 
+    // neighborhood function N(t) of the entity graph (HyperANF shape, KMV
+    // registers): 61 nodes < k=64 so every ball count is EXACT — the pinned
+    // rows are true reachable-pair counts per hop up to convergence
+    "kg_neighborhood" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      operators.GraphAlgos.neighborhoodFunction(kgSimpleEdges(st), maxHops = 8, k = 64)
+        .select(col("t"), col("n_pairs").cast("long").as("n_pairs"))
+    }),
+
     // k-core peel summary of the entity graph: (k, surviving nodes, sum of
     // in-core degrees = 2·core edges) across the k ladder — the
     // dense-nucleus profile of the KG (the graph is dense: the profile
@@ -2920,6 +2929,14 @@ object SparkEntry {
           ('posube_rosube', 0.018897962::DOUBLE),
           ('city_of_fisubeville', 0.018793737::DOUBLE),
           ('kurabe_corporation', 0.018733231::DOUBLE)) t(id, pr)""",
+
+    // neighborhood function: exact reachable-pair counts (61 < k ⇒ KMV is
+    // exact) — N(1) = 61 + 1016 cross-checks kg_graph_stats' edge count,
+    // N(3) = 61² shows the entity graph is strongly connected at diameter 3
+    "kg_neighborhood" ->
+      """SELECT * FROM (VALUES
+          (0::BIGINT, 61::BIGINT), (1::BIGINT, 1077::BIGINT),
+          (2::BIGINT, 3705::BIGINT), (3::BIGINT, 3721::BIGINT)) t(t, n_pairs)""",
 
     // k-core ladder: exact peel fixpoints — 61 nodes hold to k=16, partial
     // sheds at 18/20 (cascade working), total collapse at 22 (degeneracy

@@ -77,7 +77,7 @@ object Dedup {
     * agreeing slots on a jaccard-0.97 pair, i.e. the LSH S-curve did not
     * hold at all. With this mixer agreement ≈ jaccard as theory demands.)
     */
-  @inline private def mix64(x0: Long): Long = {
+  @inline private[graft] def mix64(x0: Long): Long = {
     var z = x0
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

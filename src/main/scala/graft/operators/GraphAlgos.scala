@@ -272,6 +272,72 @@ object GraphAlgos {
       .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Neighborhood function N(t) = Σ_v |ball(v, t)| — the distance profile
+    * a whole-graph BFS-per-node cannot compute at scale. This is the
+    * HyperANF/HyperBall algorithm shape (Boldi & Vigna, WWW'11): every
+    * vertex carries a union-monotone distinct-count sketch of its out-ball,
+    * and one hop is sketch(v) ∪= ⋃_{v→u} sketch(u) — |V| simultaneous BFS
+    * closures in O(E·k) work per hop instead of O(V·E) total. KMV bottom-k
+    * registers ([[graft.functions.KmvSketch]] semantics) replace
+    * HyperLogLog here because KMV state is a plain sorted long array:
+    * union = `slice(array_sort(array_distinct(concat(...))), 1, k)` — pure
+    * integer column ops, bit-identical under any partitioning, and EXACT
+    * (not estimated) whenever a ball holds fewer than k vertices — which
+    * makes small-graph gates pin integers while the same code estimates at
+    * web scale.
+    *
+    * Returns (t, n_pairs) for t = 0..maxHops, stopping early once N(t)
+    * converges (the effective-diameter read-off point). Per-hop shuffles
+    * are keyed by vertex id carrying ≤ k longs each. The per-node
+    * neighbor-union fold is bounded by out-degree·k; for web-hub degrees
+    * pre-reduce with a salted two-phase merge ([[graft.operators.Skew]])
+    * before the final per-id union.
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int, k: Int = 64): DataFrame = {
+    require(k >= 2 && maxHops >= 0, "neighborhoodFunction: k >= 2, maxHops >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    // register hash = splitmix64-finalized FNV: raw FNV's high bits are
+    // measurably non-uniform on short ids (kth-min estimate read 476 on a
+    // 300-node graph), and the KMV estimator is exactly a high-bit
+    // statistic. Stored SKEWED (h ^ Long.MinValue) so signed array_sort
+    // realizes the unsigned KMV order; unskewed only inside the estimator.
+    // A UDF is fine here: hashing runs once per NODE at init, off the
+    // per-hop path.
+    val nodeHash = udf((s: String) =>
+      Dedup.mix64(TextStats.fingerprint64(s)) ^ Long.MinValue)
+    var sk = nodes.select(col("id"),
+        array(nodeHash(col("id").cast("string"))).as("sk"))
+      .localCheckpoint(true)
+    val est = when(size(col("sk")) < k, size(col("sk")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(18446744073709551616.0) /
+        (element_at(col("sk"), k).cast("double") + lit(9.223372036854775808e18)))
+    def total(): Double = sk.agg(sum(est)).as[Double].collect().head
+    val out = scala.collection.mutable.ArrayBuffer((0L, total()))
+    var t = 1
+    var converged = false
+    while (t <= maxHops && !converged) {
+      val nb = e.join(sk.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k)
+          .as("nb"))
+      sk = sk.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          slice(array_sort(array_distinct(concat(col("sk"),
+            coalesce(col("nb"), array().cast("array<bigint>"))))), 1, k).as("sk"))
+        .localCheckpoint(true)
+      val n = total()
+      converged = n == out.last._2
+      if (!converged) out += ((t.toLong, n))
+      t += 1
+    }
+    out.toSeq.toDF("t", "n_pairs")
+  }
+
   /** Global clustering profile of the undirected simple graph — one row
     * (n_nodes, n_edges, n_wedges, n_closed_wedges): n_wedges =
     * Σ_v deg(v)·(deg(v)−1)/2, n_closed_wedges = 3·triangles. The global

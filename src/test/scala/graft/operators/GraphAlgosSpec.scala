@@ -150,6 +150,32 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r == ((7L, 4L)), s"got $r") // 6 K4 edges + pendant; C(4,3)=4 triangles
   }
 
+  test("neighborhoodFunction: exact N(t) below sketch capacity, converges at the diameter") {
+    // path a→b→c: balls grow 3 → 5 → 6 and stop
+    val nf = GraphAlgos.neighborhoodFunction(
+        edges("a" -> "b", "b" -> "c"), maxHops = 5, k = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(nf == Map(0L -> 3.0, 1L -> 5.0, 2L -> 6.0), s"got $nf")
+  }
+
+  test("neighborhoodFunction estimator lands within KMV error at full closure") {
+    val n = 300
+    val e = (0 until n).flatMap { i =>
+      Seq((s"n$i", s"n${(i * 7 + 1) % n}"), (s"n$i", s"n${(i * 13 + 3) % n}"),
+        (s"n$i", s"n${(i + 1) % n}"))
+    }.toDF("src", "dst")
+    val nf = GraphAlgos.neighborhoodFunction(e, maxHops = 15, k = 64)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val closure = nf.last._2
+    // the graph is strongly connected (it contains the full (i+1) ring), so
+    // the true closure is n² pairs; a k=64 KMV shared across all nodes has
+    // ~1/√(k−2) ≈ 13% relative error — assert a 2.5σ band
+    assert(math.abs(closure - n.toDouble * n) / (n.toDouble * n) < 0.32,
+      s"closure estimate $closure vs exact ${n * n}")
+    // N(t) is monotone nondecreasing
+    assert(nf.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
   test("clusteringProfile: K4 is fully transitive; a path has open wedges only") {
     val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
       .toDF("src", "dst")
