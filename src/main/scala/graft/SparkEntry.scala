@@ -1378,6 +1378,16 @@ object SparkEntry {
         .select(col("t"), col("n_pairs").cast("long").as("n_pairs"))
     }),
 
+    // harmonic centrality top-10 (exact below sketch capacity — same 61<64
+    // regime as kg_neighborhood, so the inverse-distance sums are exact
+    // rationals and the rounded ranking is a pinned constant)
+    "kg_harmonic_top" -> ((s, d) => {
+      val st = kgStages(s, CorpusSynth.Config(nPages = 1500, nClusters = 60))
+      operators.GraphAlgos.harmonicCentrality(kgSimpleEdges(st), maxHops = 8, k = 64)
+        .select(col("id"), round(col("hc"), 6).as("hc"))
+        .orderBy(col("hc").desc, col("id")).limit(10)
+    }),
+
     // k-core peel summary of the entity graph: (k, surviving nodes, sum of
     // in-core degrees = 2·core edges) across the k ladder — the
     // dense-nucleus profile of the KG (the graph is dense: the profile
@@ -2937,6 +2947,20 @@ object SparkEntry {
       """SELECT * FROM (VALUES
           (0::BIGINT, 61::BIGINT), (1::BIGINT, 1077::BIGINT),
           (2::BIGINT, 3705::BIGINT), (3::BIGINT, 3721::BIGINT)) t(t, n_pairs)""",
+
+    // harmonic centrality: exact inverse-distance sums (61 < k), pinned
+    "kg_harmonic_top" ->
+      """SELECT * FROM (VALUES
+          ('kunabe_lunabe', 41.0::DOUBLE),
+          ('city_of_vidubeville', 40.5::DOUBLE),
+          ('city_of_vinabeville', 40.5::DOUBLE),
+          ('barabe_corporation', 40.0::DOUBLE),
+          ('city_of_kunubeville', 40.0::DOUBLE),
+          ('city_of_kuzubeville', 40.0::DOUBLE),
+          ('city_of_sasabeville', 40.0::DOUBLE),
+          ('vinube_corporation', 39.833333::DOUBLE),
+          ('kutube_corporation', 39.5::DOUBLE),
+          ('menube_nenube', 39.5::DOUBLE)) t(id, hc)""",
 
     // k-core ladder: exact peel fixpoints — 61 nodes hold to k=16, partial
     // sheds at 18/20 (cascade working), total collapse at 22 (degeneracy

@@ -338,6 +338,56 @@ object GraphAlgos {
     out.toSeq.toDF("t", "n_pairs")
   }
 
+  /** Harmonic centrality for EVERY vertex — the payload HyperBall was built
+    * for (Boldi & Vigna; Marchiori & Latora's centrality): hc(v) =
+    * Σ_{u≠v} 1/d(v,u) = Σ_{t≥1} (|ball(v,t)| − |ball(v,t−1)|)/t, computed
+    * for all vertices simultaneously from the same KMV ball sketches as
+    * [[neighborhoodFunction]] — O(E·k) per hop where BFS-per-node is
+    * O(V·E) total. Exact below sketch capacity (ball counts are integers),
+    * estimated beyond. Uses out-distances d(v,·); pass reversed edges for
+    * the in-distance form. Returns (id, hc).
+    */
+  def harmonicCentrality(edges: DataFrame, maxHops: Int, k: Int = 64): DataFrame = {
+    require(k >= 2 && maxHops >= 1, "harmonicCentrality: k >= 2, maxHops >= 1")
+    val e = edges.select(col("src"), col("dst")).where(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val nodeHash = udf((s: String) =>
+      Dedup.mix64(TextStats.fingerprint64(s)) ^ Long.MinValue)
+    val est = when(size(col("sk")) < k, size(col("sk")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(18446744073709551616.0) /
+        (element_at(col("sk"), k).cast("double") + lit(9.223372036854775808e18)))
+    var state = nodes.select(col("id"),
+        array(nodeHash(col("id").cast("string"))).as("sk"),
+        lit(1.0).as("cnt"), lit(0.0).as("hc"))
+      .localCheckpoint(true)
+    var t = 1
+    var prevTotal = state.count().toDouble // Σ cnt at t=0 (all balls = self)
+    var converged = false
+    while (t <= maxHops && !converged) {
+      val nb = e.join(state.select(col("id").as("dst"), col("sk")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k)
+          .as("nb"))
+      state = state.join(nb, Seq("id"), "left")
+        .select(col("id"),
+          slice(array_sort(array_distinct(concat(col("sk"),
+            coalesce(col("nb"), array().cast("array<bigint>"))))), 1, k).as("sk"),
+          col("cnt"), col("hc"))
+        .withColumn("cnt_new", est)
+        .select(col("id"), col("sk"), col("cnt_new").as("cnt"),
+          (col("hc") + greatest(col("cnt_new") - col("cnt"), lit(0.0)) / lit(t.toDouble))
+            .as("hc"))
+        .localCheckpoint(true)
+      val total = state.agg(sum(col("cnt"))).collect().head.getDouble(0)
+      converged = total == prevTotal
+      prevTotal = total
+      t += 1
+    }
+    state.select(col("id"), col("hc"))
+  }
+
   /** Global clustering profile of the undirected simple graph — one row
     * (n_nodes, n_edges, n_wedges, n_closed_wedges): n_wedges =
     * Σ_v deg(v)·(deg(v)−1)/2, n_closed_wedges = 3·triangles. The global

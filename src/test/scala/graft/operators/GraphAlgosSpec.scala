@@ -176,6 +176,19 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(nf.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
   }
 
+  test("harmonicCentrality: exact inverse-distance sums below sketch capacity") {
+    // path a→b→c (out-distances): hc(a) = 1/1 + 1/2, hc(b) = 1, hc(c) = 0
+    val hc = GraphAlgos.harmonicCentrality(
+        edges("a" -> "b", "b" -> "c"), maxHops = 5, k = 8)
+      .as[(String, Double)].collect().toMap
+    assert(hc("a") == 1.5 && hc("b") == 1.0 && hc("c") == 0.0, s"got $hc")
+    // out-star: the hub reaches 9 leaves at distance 1, leaves reach nothing
+    val star = (1 to 9).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val hs = GraphAlgos.harmonicCentrality(star, maxHops = 3, k = 16)
+      .as[(String, Double)].collect().toMap
+    assert(hs("hub") == 9.0 && (1 to 9).forall(i => hs(s"leaf$i") == 0.0))
+  }
+
   test("clusteringProfile: K4 is fully transitive; a path has open wedges only") {
     val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
       .toDF("src", "dst")
