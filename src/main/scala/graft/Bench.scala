@@ -137,7 +137,9 @@ object Bench {
       "q_ccnet_normalize", "q_domain_quota", "q_semdedup", "q_dsir_select",
       "q_shard_assign", "q_shard_manifest", "q_bpe_merges", "q_bpe_encode_gate",
       "q_asof_join", "q_range_join", "q_mg_topk_gate",
-      "q_kmv_distinct", "q_kmv_overlap", "q_hopping_windows")
+      "q_kmv_distinct", "q_kmv_overlap", "q_hopping_windows",
+      "q_winnow", "q_winnow_pairs", "q_cooc_pairs", "q_cm_cells",
+      "q_blocklist", "q_sq8", "q_rp", "q_lpa", "q_clustering")
     val ctimes = curation.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
