@@ -724,6 +724,14 @@ object SparkEntry {
       operators.Curation.blocklistFilter(
         t(s, d, "documents"), Seq("slow", "merge", "stream"))),
 
+    // A-ES weighted sampling without replacement: 100 of 500 docs weighted
+    // by n_chars — the quality-weighted subsample; the rounded race key +
+    // id tiebreak makes the exact winner set engine-reproducible
+    "q_weighted_sample" -> ((s, d) =>
+      operators.Curation.weightedSample(t(s, d, "documents"), n = 100,
+          weightCol = "n_chars")
+        .select(col("doc_id"), col("es_key"))),
+
     // temperature mixture resampling (α=0.5): per-language rate table,
     // then the deterministic ppm-hash sample it induces — flattens the
     // source distribution the way training-data mixes are rebalanced
@@ -2279,6 +2287,26 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // A-ES weighted sample: same FNV ppb bucket, same −ln(u)/w race key,
+    // same 1e-9 rounding and (key, id) selection order
+    "q_weighted_sample" ->
+      """WITH fp AS (
+          SELECT doc_id, n_chars, list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                i -> unicode(substr(CAST(doc_id AS VARCHAR), i, 1))::HUGEINT)),
+            (acc, x) -> ((xor(acc, x)) * 1099511628211::HUGEINT)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM documents WHERE n_chars > 0),
+        k AS (
+          SELECT doc_id,
+            round(-ln(((((CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+                   % 1000000000) + 1000000000) % 1000000000)::DOUBLE + 0.5) / 1e9)
+              / n_chars::DOUBLE, 9) AS es_key
+          FROM fp)
+        SELECT doc_id, es_key FROM k ORDER BY es_key, doc_id LIMIT 100""",
 
     // blocklist: same token split, same dictionary membership, same
     // first-offender pick (document order) and keep verdict

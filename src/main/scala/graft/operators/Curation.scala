@@ -147,6 +147,37 @@ object Curation {
       array_join(kept, "\n").as("text_clean"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the A-ES
+    * exponential race of Efraimidis & Spirakis (IPL 2006): each row draws
+    * u_i ∈ (0,1) from its id hash and the n smallest keys
+    * e_i = −ln(u_i)/w_i win, which makes inclusion probability
+    * proportional to weight with no replacement — the quality-weighted
+    * corpus subsample (keep 10 B of 100 B docs, favoring high quality
+    * scores) in ONE TakeOrderedAndProject pass, no global sort, no
+    * sequential scan over a cumulative distribution. u_i is the FNV ppb
+    * bucket of the id, not an RNG, so the same sample comes back on every
+    * run, partitioning, and engine.
+    *
+    * The race key is rounded to 1e-9 with an id tiebreak before selection:
+    * `ln` is not correctly-rounded IEEE, so an unrounded key could differ
+    * in the last ulp across engines and flip the boundary row — the same
+    * discipline as [[lmPerplexityBuckets]]. Rows with non-positive weight
+    * are filtered out (their race keys would be infinite).
+    */
+  def weightedSample(
+      df: DataFrame,
+      n: Int,
+      weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "weightedSample: n must be >= 1")
+    val u = (pmod(TextStats.fingerprintCol(col(idCol).cast("string")),
+      lit(1000000000L)).cast("double") + lit(0.5)) / lit(1.0e9)
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key", round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(n)
+  }
+
   /** Dictionary blocklist filtering (the C4 §2.2 "bad words" rule, Raffel
     * et al. 2020; RefinedWeb and Gopher run the same shape with larger
     * per-language lists): flag every document whose token stream contains

@@ -149,6 +149,30 @@ class CurationSamplingSpec extends AnyFunSuite {
     assert(out(4) == ((5L, 0L, 0L, "", true)))
   }
 
+  test("weightedSample: weight-proportional inclusion, partition-invariant, exact race key") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) 100.0 else 1.0))
+      .toDF("doc_id", "w")
+    val s = Curation.weightedSample(df, 200, "w").localCheckpoint(true)
+    val evens = s.where($"doc_id" % 2 === 0).count()
+    assert(evens > 150, s"evens $evens of 200 — weight-proportional inclusion broken")
+    val again = Curation.weightedSample(df.repartition(9), 200, "w")
+    assert(s.select("doc_id").exceptAll(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").exceptAll(s.select("doc_id")).isEmpty)
+    // zero-weight rows never win; n beyond the corpus keeps the rest
+    val small = Seq((1L, 5.0), (2L, 0.0), (3L, 1.0)).toDF("doc_id", "w")
+    val all = Curation.weightedSample(small, 10, "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 3L))
+    // race key recomputed by hand for one row
+    val h = graft.operators.TextStats.fingerprint64("1")
+    val b = ((h % 1000000000L) + 1000000000L) % 1000000000L
+    val expected = BigDecimal(-math.log((b + 0.5) / 1.0e9) / 5.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.weightedSample(small, 10, "w")
+      .where($"doc_id" === 1L).select("es_key").as[Double].collect().head
+    assert(got == expected, s"$got != $expected")
+  }
+
   test("temperatureRates: α=0.5 weights, ppm floor, cap at 1e6; sample honors the rates") {
     // strata: a=400 docs, b=100, c=4 → √n = 20, 10, 2; Σ√n = 32
     val df = ((0 until 400).map(i => (i.toLong, "a")) ++
