@@ -724,6 +724,19 @@ object SparkEntry {
       operators.Curation.blocklistFilter(
         t(s, d, "documents"), Seq("slow", "merge", "stream"))),
 
+    // Z-order layout key (Morton interleave of exact integral grid cells —
+    // the OPTIMIZE ZORDER BY primitive): every z-value recomputed exactly
+    // by the oracle; the cluster()/skipping property is ZOrderSpec's
+    "q_zorder" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (amn, amx) = operators.ZOrder.minMax(docs, "doc_id")
+      val (bmn, bmx) = operators.ZOrder.minMax(docs, "n_chars")
+      docs.select(col("doc_id"),
+        operators.ZOrder.zValueCol(
+          operators.ZOrder.normalized(col("doc_id"), amn, amx, 10),
+          operators.ZOrder.normalized(col("n_chars"), bmn, bmx, 10), 10).as("z"))
+    }),
+
     // A-ES weighted sampling without replacement: 100 of 500 docs weighted
     // by n_chars — the quality-weighted subsample; the rounded race key +
     // id tiebreak makes the exact winner set engine-reproducible
@@ -2287,6 +2300,27 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // z-order: same integral grid cells (floor div of non-negative longs),
+    // same bit interleave via a fold of shift/mask/or terms
+    "q_zorder" ->
+      """WITH bounds AS (
+          SELECT min(doc_id) AS amn, max(doc_id) AS amx,
+                 min(n_chars) AS bmn, max(n_chars) AS bmx
+          FROM documents),
+        cells AS (
+          SELECT doc_id,
+            CASE WHEN amx > amn
+              THEN ((doc_id - amn) * 1023) // (amx - amn) ELSE 0 END AS ca,
+            CASE WHEN bmx > bmn
+              THEN ((n_chars - bmn) * 1023) // (bmx - bmn) ELSE 0 END AS cb
+          FROM documents CROSS JOIN bounds)
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(range(0, 10), i ->
+              (((ca >> i) & 1) << (2 * i)) | (((cb >> i) & 1) << (2 * i + 1)))),
+            (x, y) -> x | y) AS z
+        FROM cells""",
 
     // A-ES weighted sample: same FNV ppb bucket, same −ln(u)/w race key,
     // same 1e-9 rounding and (key, id) selection order
