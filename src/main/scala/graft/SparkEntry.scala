@@ -724,6 +724,14 @@ object SparkEntry {
       operators.Curation.blocklistFilter(
         t(s, d, "documents"), Seq("slow", "merge", "stream"))),
 
+    // PPJoin prefix-filtered similarity self-join: COMPLETE jaccard ≥ 0.4
+    // pair finding that only ever indexes/shuffles document PREFIXES — the
+    // oracle is the pure exact threshold join (no filter modeling needed:
+    // the prefix filter is provably lossless, and the hash compare proves
+    // it held on this corpus)
+    "q_ppjoin" -> ((s, d) =>
+      Dedup.ppjoinPairs(t(s, d, "documents"), w = 3, threshold = 0.4)),
+
     // Z-order layout key (Morton interleave of exact integral grid cells —
     // the OPTIMIZE ZORDER BY primitive): every z-value recomputed exactly
     // by the oracle; the cluster()/skipping property is ZOrderSpec's
@@ -2300,6 +2308,29 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // ppjoin: the oracle is the EXACT all-pairs threshold join over the
+    // same string shingles — no prefix-filter modeling, because the filter
+    // is lossless by theorem; a hash mismatch would mean it dropped a pair
+    "q_ppjoin" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, chr(1))]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2])) END AS s
+          FROM toks)
+        SELECT a, b, jaccard FROM (
+          SELECT CAST(x.doc_id AS VARCHAR) AS a, CAST(y.doc_id AS VARCHAR) AS b,
+            round(len(list_intersect(x.s, y.s))::DOUBLE
+                  / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+          FROM sh x JOIN sh y ON CAST(x.doc_id AS VARCHAR) < CAST(y.doc_id AS VARCHAR)
+          WHERE len(x.s) > 0 AND len(y.s) > 0)
+        WHERE jaccard >= 0.4""",
 
     // z-order: same integral grid cells (floor div of non-negative longs),
     // same bit interleave via a fold of shift/mask/or terms

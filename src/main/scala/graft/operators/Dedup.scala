@@ -356,6 +356,72 @@ object Dedup {
       .select($"a", $"b", $"jaccard")
   }
 
+  /** String shingles mirroring the SQL-oracle form exactly: lowercased
+    * whitespace tokens, w-windows joined by \u0001, distinct; short texts
+    * collapse to one whole-text shingle. (The Murmur-hashed [[shingles]]
+    * are fine for MinHash, but exact-Jaccard operators use the raw strings
+    * so a hash collision can never change a similarity.)
+    */
+  private def stringShingles(text: String, w: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty
+    else if (toks.length < w) Array(toks.mkString("\u0001"))
+    else (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString("\u0001"))
+      .distinct.toArray
+  }
+
+  /** Prefix-filtered set-similarity self-join — the PPJoin family (Xiao,
+    * Wang, Lin, Yu, WWW'08): COMPLETE Jaccard-threshold pair finding whose
+    * inverted index holds only each document's PREFIX, not every shingle.
+    * Shingles are globally ordered by ascending document frequency (rarest
+    * first — the canonical ordering; ties broken by the shingle string so
+    * every doc sorts consistently); a pair at jaccard ≥ t MUST share a
+    * shingle inside each side's first `sz − ⌈t·sz⌉ + 1` shingles, so
+    * indexing only prefixes loses nothing — completeness is a theorem, not
+    * a recall knob. At t = 0.8 the index (and the candidate shuffle it
+    * feeds) carries ~20% of the rows [[ngramJaccardPairs]]' full inverted
+    * index does, and unlike that operator's `maxDocFreq` cap the pruning
+    * here is lossless. Candidates are verified with an exact shared-count
+    * join. The ⌈t·sz⌉ is computed as ceil(round(t·sz, 9)) — float noise
+    * can then only LENGTHEN a prefix, never break completeness.
+    *
+    * Scale shape: shuffles keyed by shingle carry only prefix rows
+    * (≈(1−t)·tokens); the df-rank window and verify joins key on doc id.
+    * (Positional/suffix filtering — the "+" of PPJoin+ — prunes further at
+    * identical completeness; the prefix filter is the load-bearing part.)
+    */
+  def ppjoinPairs(df: DataFrame, w: Int = 3, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "ppjoinPairs: threshold in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shUdf = udf((s: String) => stringShingles(s, w))
+    val exploded = df.select(col(idCol).cast("string").as("id"),
+      explode(shUdf(col(textCol))).as("sh")).localCheckpoint(true)
+    val sizes = exploded.groupBy($"id").agg(count(lit(1)).as("sz"))
+    val dfreq = exploded.groupBy($"sh").agg(count(lit(1)).as("gdf"))
+    val prefix = exploded.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"id").orderBy($"gdf", $"sh")))
+      .join(sizes, "id")
+      .where($"rk" <= $"sz" - ceil(round(lit(threshold) * $"sz", 9)) + 1)
+      .select($"id", $"sh")
+    val cands = prefix.as("x").join(prefix.as("y"), "sh")
+      .where($"x.id" < $"y.id")
+      .select($"x.id".as("a"), $"y.id".as("b")).distinct()
+    val shared = cands
+      .join(exploded.select($"id".as("a"), $"sh"), "a")
+      .join(exploded.select($"id".as("b"), $"sh"), Seq("b", "sh"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select($"id".as("a"), $"sz".as("sz_a")), "a")
+      .join(sizes.select($"id".as("b"), $"sz".as("sz_b")), "b")
+      .withColumn("jaccard",
+        round($"shared".cast("double") / ($"sz_a" + $"sz_b" - $"shared"), 6))
+      .where($"jaccard" >= threshold)
+      .select($"a", $"b", $"jaccard")
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT all-pairs,

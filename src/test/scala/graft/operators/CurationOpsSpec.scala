@@ -193,6 +193,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("ppjoinPairs: output equals exact all-pairs Jaccard (prefix filter is lossless)") {
+    // 60 docs over a small vocabulary → dense overlap structure with pairs
+    // on both sides of the threshold, including exact boundary values
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = (0 until 60).map { i =>
+      val n = 6 + (i % 5)
+      (i.toLong, (0 until n).map(j => vocab((i * 3 + j * 5) % vocab.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val t = 0.4
+    val got = Dedup.ppjoinPairs(docs, w = 3, threshold = t)
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2)).toSet
+    // ground truth: brute-force exact Jaccard over the same string shingles
+    def sh(s: String): Set[String] = {
+      val tk = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.isEmpty) Set.empty
+      else if (tk.length < 3) Set(tk.mkString("\u0001"))
+      else (0 to tk.length - 3).map(i => tk.slice(i, i + 3).mkString("\u0001")).toSet
+    }
+    val rows = docs.as[(Long, String)].collect().map { case (id, s) => (id.toString, sh(s)) }
+    val expected = (for {
+      (a, sa) <- rows; (b, sb) <- rows
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= t
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "test corpus must produce qualifying pairs")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("centroids: exact mean pool, bit-identical across partitionings") {
     import graft.extract.Embeddings
     val rows = Seq(
