@@ -724,6 +724,19 @@ object SparkEntry {
       operators.Curation.blocklistFilter(
         t(s, d, "documents"), Seq("slow", "merge", "stream"))),
 
+    // exact order statistics by value bisection (no sort, no approx): the
+    // five exact quantiles of lineitem price-cents, each found in ~40
+    // count passes — the oracle sorts outright and must agree to the cent
+    "q_exact_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val cents = floor(col("l_extendedprice") * 100).cast("long")
+      val n = li.where(col("l_extendedprice").isNotNull).count()
+      val ks = Seq(1L, (n + 1) / 2, n)
+      ks.map(k => (k, operators.Selection.exactKth(li, cents, k)))
+        .toDF("k", "value")
+    }),
+
     // PPJoin prefix-filtered similarity self-join: COMPLETE jaccard ≥ 0.4
     // pair finding that only ever indexes/shuffles document PREFIXES — the
     // oracle is the pure exact threshold join (no filter modeling needed:
@@ -2308,6 +2321,18 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // exact quantiles: the oracle computes the same ks from count(*) and
+    // reads the kth value off a full sort — same floor(×100) cents
+    "q_exact_quantiles" ->
+      """WITH v AS (
+          SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        nn AS (SELECT count(*) AS n FROM v),
+        ks AS (
+          SELECT unnest([1, (n + 1) // 2, n]) AS k FROM nn),
+        s AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        SELECT k, (SELECT c FROM s WHERE rn = k) AS value FROM ks""",
 
     // ppjoin: the oracle is the EXACT all-pairs threshold join over the
     // same string shingles — no prefix-filter modeling, because the filter
