@@ -263,7 +263,24 @@ object ExplainAudit {
         s => graft.SparkEntry.queries("q_rp")(s, sfDir),
         Seq("Project", "Generate"),
         "the sign matrix is a plan literal; project+posexplode never shuffle",
-        mustNotContain = Seq("Exchange", "Join"))
+        mustNotContain = Seq("Exchange", "Join")),
+
+      Check("weighted sample is TakeOrderedAndProject over a narrow key",
+        s => graft.SparkEntry.queries("q_weighted_sample")(s, sfDir),
+        // the A-ES race key is a per-row codegen column; selection must be
+        // the streaming top-n operator, never a global sort + limit
+        Seq("TakeOrderedAndProject"),
+        "the race never globally sorts; one top-n pass",
+        mustNotContain = Seq("Exchange rangepartitioning", "Join")),
+
+      Check("z-order key derivation is a pure narrow pass",
+        s => graft.SparkEntry.queries("q_zorder")(s, sfDir),
+        // min/max stats are collected at build time; the returned key
+        // computation is scan→project (cluster() adds ONE range exchange
+        // by design — that is the layout step, not this query)
+        Seq("Project"),
+        "grid cells + interleave are plan literals over the scan",
+        mustNotContain = Seq("Exchange", "Join", "Window"))
     )
 
     var failures = 0
