@@ -724,6 +724,12 @@ object SparkEntry {
       operators.Curation.blocklistFilter(
         t(s, d, "documents"), Seq("slow", "merge", "stream"))),
 
+    // asymmetric containment join (quote/subset detection — near-zero
+    // jaccard pairs that symmetric thresholds can never find): ordered
+    // pairs with |S(src)∩S(dst)|/|S(src)| ≥ 0.6
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), w = 3, threshold = 0.6)),
+
     // exact order statistics by value bisection (no sort, no approx): the
     // five exact quantiles of lineitem price-cents, each found in ~40
     // count passes — the oracle sorts outright and must agree to the cent
@@ -2321,6 +2327,27 @@ object SparkEntry {
            AND NOT contains(t, '{')) AS keep_doc,
           array_to_string(kept, chr(10)) AS text_clean
         FROM k""",
+
+    // containment: exact ordered-pair recompute over the same string
+    // shingles (corpus is under the DF cap, so the cap drops nothing)
+    "q_containment" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, chr(1))]
+                 ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2])) END AS s
+          FROM toks)
+        SELECT src, dst, containment FROM (
+          SELECT CAST(x.doc_id AS VARCHAR) AS src, CAST(y.doc_id AS VARCHAR) AS dst,
+            round(len(list_intersect(x.s, y.s))::DOUBLE / len(x.s), 6) AS containment
+          FROM sh x JOIN sh y ON x.doc_id <> y.doc_id
+          WHERE len(x.s) > 0 AND len(list_intersect(x.s, y.s)) > 0)
+        WHERE containment >= 0.6""",
 
     // exact quantiles: the oracle computes the same ks from count(*) and
     // reads the kth value off a full sort — same floor(×100) cents

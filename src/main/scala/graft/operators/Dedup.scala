@@ -422,6 +422,44 @@ object Dedup {
       .select($"a", $"b", $"jaccard")
   }
 
+  /** Asymmetric containment join: all ordered pairs with
+    * c(src→dst) = |S(src) ∩ S(dst)| / |S(src)| ≥ threshold over the same
+    * string shingles as [[ppjoinPairs]]. Containment is what quote/subset
+    * detection actually needs — a tweet quoted inside a news article has
+    * near-zero Jaccard but containment 1.0, so a symmetric threshold can
+    * never find it. Each unordered overlap yields up to two ordered rows
+    * (A-in-B and B-in-A are different facts).
+    *
+    * Scale shape: same inverted-index + exact-verify plan as the Jaccard
+    * family; `maxDocFreq` caps boilerplate-flood buckets (a prefix filter
+    * does NOT transfer to containment — the contained side's prefix bound
+    * degenerates at c=1, so the DF cap is the honest prune here).
+    */
+  def containmentPairs(df: DataFrame, w: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = 1000, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "containmentPairs: threshold in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shUdf = udf((s: String) => stringShingles(s, w))
+    val exploded = df.select(col(idCol).cast("string").as("id"),
+      explode(shUdf(col(textCol))).as("sh"))
+    val sizes = exploded.groupBy($"id").agg(count(lit(1)).as("sz"))
+    val capped = exploded
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy($"sh")))
+      .where($"gdf" <= maxDocFreq)
+    val shared = capped.as("x").join(capped.as("y"), "sh")
+      .where($"x.id" =!= $"y.id")
+      .groupBy($"x.id".as("src"), $"y.id".as("dst"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select($"id".as("src"), $"sz".as("sz_src")), "src")
+      .withColumn("containment",
+        round($"shared".cast("double") / $"sz_src", 6))
+      .where($"containment" >= threshold)
+      .select($"src", $"dst", $"containment")
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT all-pairs,

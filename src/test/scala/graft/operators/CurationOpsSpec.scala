@@ -224,6 +224,24 @@ class CurationOpsSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("containmentPairs: a quoted subset scores 1.0 one way, below threshold the other") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val article = s"intro words before the quote $quote and then a very long tail " +
+      "of completely unrelated article prose continuing for many more tokens here"
+    val df = docs(1L -> quote, 2L -> article,
+      3L -> "entirely different text with no overlap at all whatsoever really")
+    val got = Dedup.containmentPairs(df, w = 3, threshold = 0.9)
+      .as[(String, String, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("1", "2")),
+      s"only quote-in-article qualifies, got ${got.toSeq}")
+    assert(got.head._3 == 1.0, "every shingle of the quote appears in the article")
+    // the reverse direction exists but far below 0.9
+    val all = Dedup.containmentPairs(df, w = 3, threshold = 0.01)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all(("2", "1")) < 0.5 && all(("2", "1")) > 0.0)
+  }
+
   test("centroids: exact mean pool, bit-identical across partitionings") {
     import graft.extract.Embeddings
     val rows = Seq(
