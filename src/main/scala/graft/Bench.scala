@@ -140,7 +140,7 @@ object Bench {
       "q_kmv_distinct", "q_kmv_overlap", "q_hopping_windows",
       "q_winnow", "q_winnow_pairs", "q_cooc_pairs", "q_cm_cells",
       "q_blocklist", "q_sq8", "q_rp", "q_lpa", "q_clustering",
-      "q_weighted_sample", "q_zorder", "q_ppjoin")
+      "q_weighted_sample", "q_zorder", "q_ppjoin", "q_containment")
     val ctimes = curation.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
