@@ -30,7 +30,11 @@ object Selection {
     var hi = head.getLong(1)
     // invariant: the kth smallest lies in [lo, hi]
     while (lo < hi) {
-      val mid = lo + (hi - lo) / 2 // no overflow: hi - lo >= 0
+      // overflow-safe floor((lo+hi)/2): (lo & hi) + ((lo ^ hi) >> 1) never
+      // forms lo+hi or hi-lo, so it is exact even when [lo, hi] spans more
+      // than Long.MaxValue (e.g. a fingerprint64 column with values near
+      // both Long extremes, where hi - lo overflows signed long).
+      val mid = (lo & hi) + ((lo ^ hi) >> 1)
       val cnt = d.where(col("v") <= lit(mid)).count()
       if (cnt >= k) hi = mid else lo = mid + 1
     }

@@ -63,7 +63,11 @@ object Temporal {
         lit(null).cast(right.schema(tieBreak).dataType).as("__tie") :+
         struct(leftCols.map(col): _*).as("__l") :+
         lit(null).cast(payloadType).as("__r"): _*)
-    val r = right.select(
+    // NULL-timestamp right rows can never satisfy `rightTs <= leftTs` (or
+    // >=) under ASOF/SQL semantics, but under the window ordering they would
+    // sort first (Spark asc = nulls first) and their payload would be
+    // carried onto left rows that have no genuine match — drop them here.
+    val r = right.where(col(rightTs).isNotNull).select(
       keys.map(col) :+
         col(rightTs).as("__ts") :+
         lit(0).as("__side") :+
@@ -74,10 +78,15 @@ object Temporal {
     // Ordering: ts in scan direction; right (side 0) before left at equal ts
     // so an equal-timestamp right row is visible to the left row; among
     // right rows at the winning ts, ascending tie ⇒ the LAST carried row has
-    // the max tie — deterministic under any partitioning.
+    // the max tie — deterministic under any partitioning. NULL left
+    // timestamps (the only NULL __ts left after the right-side filter) are
+    // pinned FIRST in scan order so they precede every right row and carry
+    // null — a NULL-ts left row matches nothing, it doesn't match everything.
     val ord: Seq[Column] =
-      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
-      else Seq(col("__ts").desc, col("__side").asc, col("__tie").asc)
+      if (direction == "backward")
+        Seq(col("__ts").asc_nulls_first, col("__side").asc, col("__tie").asc)
+      else
+        Seq(col("__ts").desc_nulls_first, col("__side").asc, col("__tie").asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -113,13 +122,19 @@ object Temporal {
     def cellOf(ts: Column): Column = floor(unix_micros(ts.cast("timestamp")) / gridMicros)
 
     val nCells = cellOf(col(endCol)) - cellOf(col(startCol)) + 1
+    // Inverted intervals (end < start ⇒ nCells <= 0) would pass a bare
+    // `nCells <= max` budget guard and make `sequence` emit a DESCENDING
+    // junk cell list; they contain no point under `between`, so they explode
+    // to zero cells instead. Only genuinely over-wide intervals raise.
     val iv = intervals
-      .withColumn("__cell", explode(sequence(
-        cellOf(col(startCol)),
-        when(nCells <= maxCellsPerInterval, cellOf(col(endCol)))
-          .otherwise(raise_error(concat(
-            lit(s"rangeJoin: interval spans more than $maxCellsPerInterval cells at grid=${gridSeconds}s: "),
-            col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string")))))))
+      .withColumn("__cell", explode(
+        when(nCells >= 1, sequence(
+          cellOf(col(startCol)),
+          when(nCells <= maxCellsPerInterval, cellOf(col(endCol)))
+            .otherwise(raise_error(concat(
+              lit(s"rangeJoin: interval spans more than $maxCellsPerInterval cells at grid=${gridSeconds}s: "),
+              col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string"))))))
+          .otherwise(array().cast("array<bigint>"))))
     val pt = points.withColumn("__cell", cellOf(col(pointTs)))
 
     pt.join(iv, keys :+ "__cell")

@@ -43,7 +43,11 @@ object Winnow {
     val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val g = tk.length - k + 1
     if (g <= 0) return Array.empty
-    require(g < (1 << 20), "Winnow: > 2^20 shingles per document unsupported (oracle key packing)")
+    // The 2^20 bound exists only for the oracle's hu*2^20+pos key packing.
+    // A single pathological web document (>2^20+k−1 tokens ≈ 4 MB of text)
+    // must DEGRADE — select nothing, visible to callers as n_selected=0
+    // with a huge n_grams — not throw inside an executor and fail the job.
+    if (g >= (1 << 20)) return Array.empty
     val h = new Array[Long](g)
     val sb = new java.lang.StringBuilder
     var i = 0

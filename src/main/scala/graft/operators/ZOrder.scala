@@ -46,8 +46,17 @@ object ZOrder {
     require(bits >= 1 && bits <= 31, s"normalized: bits must be in [1, 31]")
     if (mx > mn) {
       val scale = (1L << bits) - 1L
+      // decimal(38,0) arithmetic end to end: (c − mn) ≤ 2^64 and the scale
+      // multiply peaks at 2^64·2^31 ≈ 10^28.6 < 10^38, so the affine map is
+      // EXACT even when clustering a 64-bit hash/fingerprint column — pure
+      // long math silently overflows once (mx − mn) > 2^63/scale (and
+      // mx − mn itself overflows when the column spans both long extremes).
+      // IntegralDivide on decimals still returns a long cell id.
+      val dec = "decimal(38,0)"
+      val range = (BigInt(mx) - BigInt(mn)).toString
       call_function("div",
-        (c.cast("long") - lit(mn)) * lit(scale), lit(mx - mn))
+        (c.cast(dec) - lit(mn).cast(dec)) * lit(scale).cast(dec),
+        lit(range).cast(dec))
     } else lit(0L)
   }
 

@@ -31,6 +31,18 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("exactKth is exact when the value range spans more than 2^63") {
+    // lo near Long.MinValue and hi near Long.MaxValue: hi - lo overflows
+    // signed long, so the old `lo + (hi-lo)/2` midpoint broke the bisection
+    // invariant; the bitwise floor-average midpoint must stay exact.
+    val xs = Seq(Long.MinValue + 1, -5L, 0L, 3L, Long.MaxValue - 1)
+    val df = xs.toDF("v")
+    val sorted = xs.sorted
+    (1 to xs.length).foreach { k =>
+      assert(Selection.exactKth(df, $"v", k) == sorted(k - 1), s"k=$k")
+    }
+  }
+
   test("exactKth on a hashed column agrees with an exact full sort") {
     // 20-bit value range keeps the bisection at ~20 count passes per k —
     // the full 64-bit range costs 64 rounds of Catalyst planning per k,

@@ -96,6 +96,36 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: NULL-timestamp right rows never match; NULL-ts left rows match nothing") {
+    val left = Seq((1L, "a", Some(ts(100L)), 0.0), (2L, "a", Option.empty[Timestamp], 0.0))
+      .toDF("id", "k", "ts", "v").repartition(3)
+    // one genuine right row at 60 plus a NULL-ts right row that under
+    // nulls-first ordering used to be carried onto every left row
+    val right = Seq((10L, "a", Some(ts(60L)), 1.5), (11L, "a", Option.empty[Timestamp], 9.9))
+      .toDF("id", "k", "ts", "v").repartition(3)
+    for (dir <- Seq("backward", "forward")) {
+      val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts",
+          rightPayload = Seq("id", "v"), tieBreak = "id", direction = dir)
+        .select($"id", $"asof_id")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expect1 = if (dir == "backward") Some(10L) else None // 60 <= 100 only backward
+      assert(out == Map(1L -> expect1, 2L -> None), s"dir=$dir")
+    }
+  }
+
+  test("rangeJoin: inverted intervals match nothing and don't defeat the budget guard") {
+    val points = frame((1L, "a", 100L, 0.0))
+    val intervals = Seq(
+      (100L, "a", ts(150L), ts(50L)),  // inverted: end < start — zero cells, zero matches
+      (101L, "a", ts(90L), ts(110L)))  // genuine: matches point 1
+      .toDF("iv_id", "k", "w_start", "w_end").repartition(2)
+    val out = Temporal.rangeJoin(points, intervals, Seq("k"), "ts", "w_start", "w_end",
+        gridSeconds = 10L, maxCellsPerInterval = 4)
+      .select($"id", $"iv_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 101L)))
+  }
+
   // ----------------------------------------------------------- range join
 
   test("rangeJoin: inclusive bounds, exact pair set vs naive filter") {

@@ -55,6 +55,17 @@ class WinnowSpec extends AnyFunSuite {
     assert(Winnow.select("", 4, 5).isEmpty)
   }
 
+  test("pathological over-long documents degrade to empty selection, no throw") {
+    // >= 2^20 shingles breaches the oracle key-packing bound; one such web
+    // document must not fail the whole job from inside an executor.
+    val sb = new java.lang.StringBuilder(4 << 20)
+    var i = 0
+    while (i < (1 << 20)) { sb.append("x "); i += 1 }
+    assert(Winnow.select(sb.toString, 1, 5).isEmpty)
+    // one token below the bound still selects normally
+    assert(Winnow.select("a b c d e f", 1, 5).nonEmpty)
+  }
+
   test("Schleimer guarantee: shared >= w+k-1 token run => shared fingerprint") {
     val rnd = new scala.util.Random(11)
     val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")

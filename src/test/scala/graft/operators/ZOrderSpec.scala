@@ -29,6 +29,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(cells(1) == (45L * 1023L) / 90L) // floor division, exact
   }
 
+  test("normalized: exact cells when the column range spans more than 2^63") {
+    // a fingerprint64-valued column spans [Long.MinValue, Long.MaxValue];
+    // (c-mn)*scale in long arithmetic silently overflowed — the decimal
+    // path must put the endpoints at cell 0 / 2^bits−1 and the midpoint
+    // below the upper half.
+    val mn = Long.MinValue + 2
+    val mx = Long.MaxValue - 3
+    val df = Seq(mn, -1L, mx).toDF("c")
+    val cells = df.select(ZOrder.normalized($"c", mn, mx, 10).as("cell"))
+      .as[Long].collect().toSeq
+    assert(cells.head == 0L && cells.last == 1023L)
+    assert(cells(1) == 511L, s"midpoint cell was ${cells(1)}")
+    assert(cells.forall(c => c >= 0L && c <= 1023L))
+  }
+
   test("cluster: partition z-ranges are disjoint (the skipping property)") {
     val grid = (for { x <- 0 until 64; y <- 0 until 64 }
       yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
