@@ -54,18 +54,43 @@ object Bench {
       if (f.length > 8) f(8).toLong else 0L
     } catch { case _: Throwable => 0L }
 
-  final case class Sample(wall: Double, stealSec: Double)
+  /** Cumulative stop-the-world GC milliseconds across all collectors of
+    * this JVM (driver = executor under local[*], so this IS the job's GC).
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Resident set size in MB (/proc/self/status VmRSS); 0 if unreadable. */
+  private def rssMb(): Long =
+    try {
+      scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS"))
+        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+
+  /** One KG sample with the r3-verdict adjudication fields: ordinal (JIT
+    * warmup position), per-sample GC ms and end-of-run RSS — the r3 bench
+    * had a 3.4x sample at near-zero steal that NO recorded field could
+    * explain; wall variance must be attributable from the artifact alone.
+    */
+  final case class Sample(ordinal: Int, wall: Double, stealSec: Double,
+      gcMs: Long, rssMb: Long)
 
   /** Full KG construction; returns (resolvedTripleCount, sample). */
-  private def runKg(cores: Int, cfg: CorpusSynth.Config): (Long, Sample) = {
+  private def runKg(cores: Int, cfg: CorpusSynth.Config, ordinal: Int): (Long, Sample) = {
     val spark = session(cores)
     val s0 = stealTicks()
+    val g0 = gcMillis()
     val t0 = System.nanoTime()
     val n = SparkEntry.KgStages(spark, cfg).resolvedTriples.count()
     val wall = (System.nanoTime() - t0) / 1e9
     val steal = (stealTicks() - s0) / 100.0
+    val gc = gcMillis() - g0
     spark.stop()
-    (n, Sample(wall, steal))
+    (n, Sample(ordinal, wall, steal, gc, rssMb()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,18 +113,23 @@ object Bench {
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
 
     // warm JIT/classloading so the low-parallelism run isn't penalized
-    runKg(coresLow, cfg.copy(nPages = 200))
+    runKg(coresLow, cfg.copy(nPages = 200), ordinal = 0)
 
-    // best-of-2 per level, interleaved: the sandbox VM shows multi-x
-    // steal-time swings (host contention), so a single sample per level can
-    // invert the scaling signal entirely. Per-sample steal is recorded so a
-    // polluted sample is identifiable in the artifact.
-    val (nLow, low1) = runKg(coresLow, cfg)
-    val (nHigh, high1) = runKg(coresHigh, cfg)
-    val (_, low2) = runKg(coresLow, cfg)
-    val (_, high2) = runKg(coresHigh, cfg)
-    val wallLow = math.min(low1.wall, low2.wall)
-    val wallHigh = math.min(high1.wall, high2.wall)
+    // best-of-3 per level, interleaved (r4; r3 was best-of-2): the sandbox
+    // VM shows multi-x steal-time swings (host contention), so few samples
+    // per level can invert the scaling signal entirely. Per-sample steal,
+    // GC ms, RSS and ordinal are recorded so a polluted sample is
+    // attributable from the artifact, not argued.
+    val (nLow, low1) = runKg(coresLow, cfg, 1)
+    val (nHigh, high1) = runKg(coresHigh, cfg, 2)
+    val (_, low2) = runKg(coresLow, cfg, 3)
+    val (_, high2) = runKg(coresHigh, cfg, 4)
+    val (_, low3) = runKg(coresLow, cfg, 5)
+    val (_, high3) = runKg(coresHigh, cfg, 6)
+    val lows = Seq(low1, low2, low3)
+    val highs = Seq(high1, high2, high3)
+    val wallLow = lows.map(_.wall).min
+    val wallHigh = highs.map(_.wall).min
     val thrLow = nLow / wallLow
     val thrHigh = nHigh / wallHigh
     val eff = (thrHigh / thrLow) / (coresHigh.toDouble / coresLow)
@@ -161,6 +191,9 @@ object Bench {
     val qs = qtimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val cs = ctimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     def arr(xs: Double*) = xs.map(f).mkString("[", ",", "]")
+    def details(ss: Seq[Sample]) = ss.map(s =>
+      s"""{"ord":${s.ordinal},"wall":${f(s.wall)},"steal":${f(s.stealSec)},""" +
+        s""""gc_ms":${s.gcMs},"rss_mb":${s.rssMb}}""").mkString("[", ",", "]")
     val sw = stageWalls.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val kg =
       s""""kg":{"pages":$pages,"resolved_triples":$nHigh,""" +
@@ -168,10 +201,12 @@ object Bench {
         s""""wall_low_sec":${f(wallLow)},"wall_high_sec":${f(wallHigh)},""" +
         s""""triples_per_sec_low":${f(thrLow)},"triples_per_sec_high":${f(thrHigh)},""" +
         s""""scaling_efficiency":${f(eff)},""" +
-        s""""samples_low_sec":${arr(low1.wall, low2.wall)},""" +
-        s""""samples_high_sec":${arr(high1.wall, high2.wall)},""" +
-        s""""steal_low_sec":${arr(low1.stealSec, low2.stealSec)},""" +
-        s""""steal_high_sec":${arr(high1.stealSec, high2.stealSec)},""" +
+        s""""samples_low_sec":${arr(lows.map(_.wall): _*)},""" +
+        s""""samples_high_sec":${arr(highs.map(_.wall): _*)},""" +
+        s""""steal_low_sec":${arr(lows.map(_.stealSec): _*)},""" +
+        s""""steal_high_sec":${arr(highs.map(_.stealSec): _*)},""" +
+        s""""samples_low_detail":${details(lows)},""" +
+        s""""samples_high_detail":${details(highs)},""" +
         s""""stage_walls_high_sec":$sw,""" +
         s""""stage_profile_total_sec":${f(profWall)},""" +
         s""""stage_profile_steal_sec":${f(profSteal)}}"""

@@ -34,11 +34,21 @@ trait LlmClient extends Serializable {
   *   - relation types are space→underscore UPPER (`:64`), node types
   *     Python-capitalize (`:108`) — via [[Normalize]];
   *   - ANY failure (client error, bad JSON, missing field) yields an empty
-  *     GraphDocument, never an exception (`:47-48,142-143`).
+  *     GraphDocument, never an exception (`:47-48,142-143`);
+  *   - `strict_mode` (r4, `:113-125,216-228`): when enabled, nodes whose
+  *     NORMALIZED type is outside `allowedEntityTypes` and rels whose
+  *     normalized type is outside `allowedRelationshipTypes` are dropped —
+  *     the filter runs on the formatted types exactly like the reference
+  *     (after capitalize/upper), each list only filters when non-empty, and
+  *     rels are filtered by edge type alone (NOT by surviving endpoints —
+  *     reference behavior, preserved deliberately).
   */
 final class JsonLlmExtractor(
     client: LlmClient,
-    promptTemplate: String = JsonLlmExtractor.DefaultPrompt) extends Extractor {
+    promptTemplate: String = JsonLlmExtractor.DefaultPrompt,
+    allowedEntityTypes: Seq[String] = Nil,
+    allowedRelationshipTypes: Seq[String] = Nil,
+    strictMode: Boolean = false) extends Extractor {
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -80,7 +90,17 @@ final class JsonLlmExtractor(
         }
         case _ => Nil
       }
-      ExtractedGraphDoc(chunkId, nodes, rels)
+      // strict_mode schema gate (LLMEntityRelationshipExtractor.py:113-125):
+      // each allow-list filters only when non-empty, on the normalized types
+      val keptNodes =
+        if (strictMode && allowedEntityTypes.nonEmpty)
+          nodes.filter(n => allowedEntityTypes.contains(n.node_type))
+        else nodes
+      val keptRels =
+        if (strictMode && allowedRelationshipTypes.nonEmpty)
+          rels.filter(r => allowedRelationshipTypes.contains(r.relation_type))
+        else rels
+      ExtractedGraphDoc(chunkId, keptNodes, keptRels)
     } catch {
       case scala.util.control.NonFatal(_) => ExtractedGraphDoc(chunkId, Nil, Nil)
     }

@@ -166,27 +166,32 @@ object Multimodal {
       features: Array[Float])
 
   /** Deterministic media table whose image/audio payloads are REAL encoded
-    * files (24-bpp BMP gradients, PCM16 WAV tones) the pure-JVM codecs can
-    * decode; video rows keep opaque bytes (no JVM-only container codec).
+    * files the pure-JVM codecs can decode: 24-bpp BMP gradients, PCM16 WAV
+    * tones, and (r4) PNG gradients + ≤256-color grayscale GIFs via
+    * `javax.imageio` — both lossless by spec, so decode is bit-exact.
+    * Video rows keep opaque bytes (no JVM container codec).
     */
   def synthEncoded(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     import MultimodalCodecs._
     spark.range(n).map { i =>
       val rng = new scala.util.Random(seed * 2654435761L + i)
-      (i % 3) match {
+      def gradient(w: Int, h: Int): Array[Byte] = {
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) { // gradient + seeded phase: every image distinct
+          rgb(p * 3) = ((p + rng.nextInt(7)) % 256).toByte
+          rgb(p * 3 + 1) = ((p * 2) % 256).toByte
+          rgb(p * 3 + 2) = ((255 - p) % 256).toByte
+          p += 1
+        }
+        rgb
+      }
+      (i % 5) match {
         case 0 =>
           val w = 8 + rng.nextInt(25) // odd widths exercise row padding
           val h = 8 + rng.nextInt(25)
-          val rgb = new Array[Byte](w * h * 3)
-          var p = 0
-          while (p < w * h) { // gradient + seeded phase: every image distinct
-            rgb(p * 3) = ((p + rng.nextInt(7)) % 256).toByte
-            rgb(p * 3 + 1) = ((p * 2) % 256).toByte
-            rgb(p * 3 + 2) = ((255 - p) % 256).toByte
-            p += 1
-          }
-          val payload = encodeBmp(BmpImage(w, h, rgb))
+          val payload = encodeBmp(BmpImage(w, h, gradient(w, h)))
           MediaRow(f"media_$i%06d", "image", payload, w, h, 0, 0L, "bmp")
         case 1 =>
           val rate = 8000
@@ -197,19 +202,40 @@ object Multimodal {
           }
           val payload = encodeWav(WavAudio(rate, 1, samples))
           MediaRow(f"media_$i%06d", "audio", payload, 0, 0, rate, ms, "wav")
-        case _ =>
+        case 2 =>
           val payload = new Array[Byte](512 + rng.nextInt(2048))
           rng.nextBytes(payload)
           MediaRow(f"media_$i%06d", "video", payload, 320, 240,
             0, 1000L + rng.nextInt(60000), "mp4")
+        case 3 =>
+          val w = 8 + rng.nextInt(25)
+          val h = 8 + rng.nextInt(25)
+          val payload = encodePng(BmpImage(w, h, gradient(w, h)))
+          MediaRow(f"media_$i%06d", "image", payload, w, h, 0, 0L, "png")
+        case _ =>
+          // grayscale keeps the palette ≤256 colors: GIF encode is lossless
+          val w = 8 + rng.nextInt(25)
+          val h = 8 + rng.nextInt(25)
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val g = ((p * 3 + rng.nextInt(5)) % 256).toByte
+            rgb(p * 3) = g; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = g
+            p += 1
+          }
+          val payload = encodeGif(BmpImage(w, h, rgb))
+          MediaRow(f"media_$i%06d", "image", payload, w, h, 0, 0L, "gif")
       }
     }
   }
 
   /** Feature extraction with REAL decoding where the JVM can do it: bmp →
     * [[MultimodalCodecs.decodeBmp]] + color/luma features, wav →
-    * [[MultimodalCodecs.decodeWav]] + rms/zcr/energy features; all other
-    * formats (and corrupt payloads) fall back to the hash stub with
+    * [[MultimodalCodecs.decodeWav]] + rms/zcr/energy features, png/gif →
+    * [[MultimodalCodecs.decodeImage]] (JDK ImageIO — lossless formats, so
+    * pixel recovery is bit-exact and the features oracle-gateable); all
+    * other formats (jpeg — decode is implementation-defined across JVMs;
+    * mp4 — no JVM codec; corrupt payloads) fall back to the hash stub with
     * `decoded = false` so the fallback RATE is observable, never silent.
     * Same mapPartitions batch shape as [[extractFeatures]].
     */
@@ -222,6 +248,7 @@ object Multimodal {
         val real: Option[Array[Float]] = m.format match {
           case "bmp" => decodeBmp(m.payload).map(bmpFeatures(_, dim))
           case "wav" => decodeWav(m.payload).map(wavFeatures(_, dim))
+          case "png" | "gif" => decodeImage(m.payload).map(bmpFeatures(_, dim))
           case _ => None
         }
         DecodedFeatures(m.media_id, m.modality, m.format, m.payload.length.toLong,

@@ -2,21 +2,28 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Real pure-JVM codecs for the self-describing UNCOMPRESSED media formats
-  * (24-bpp BI_RGB BMP, 16-bit PCM WAV) — no native libraries, so they run
-  * on any executor as-is. These replace [[Multimodal.decodeStub]] on the
-  * formats a JVM can genuinely decode; compressed formats (png/jpeg/mp4)
-  * stay behind the documented stub until a codec dependency exists.
+/** Real pure-JVM codecs for the self-describing media formats the JDK can
+  * genuinely decode with zero added dependencies:
+  *   - 24-bpp BI_RGB BMP and 16-bit PCM WAV, hand-rolled from the public
+  *     byte-layout specs (BITMAPFILEHEADER/BITMAPINFOHEADER; RIFF/WAVE);
+  *   - PNG and GIF via `javax.imageio` (r4) — both are LOSSLESS by spec,
+  *     so decode is bit-exact pixel recovery and oracle-gateable. JPEG is
+  *     deliberately NOT routed here: its decode is implementation-defined
+  *     (IDCT rounding varies across JVMs), so it stays behind the
+  *     deterministic stub rather than behind a false "decoded" flag.
+  * mp4/video containers remain behind [[Multimodal.decodeStub]] (no JVM
+  * codec exists).
   *
-  * Both decoders return Option: a torn or foreign payload yields None and
+  * Every decoder returns Option: a torn or foreign payload yields None and
   * the caller falls back / counts the drop — a corrupt blob must never
   * kill a 100 TB scan (same empty-on-failure discipline as the reference's
   * extractor error handling).
-  *
-  * All byte layouts here are from the public format specifications
-  * (BITMAPFILEHEADER/BITMAPINFOHEADER; RIFF/WAVE fmt+data chunks).
   */
 object MultimodalCodecs {
+
+  // ImageIO's disk scratch cache is a liability on executors (tmp churn,
+  // permissions); in-memory streams are strictly better for blob payloads.
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class BmpImage(width: Int, height: Int, rgb: Array[Byte]) {
     def pixel(x: Int, y: Int): (Int, Int, Int) = {
@@ -130,6 +137,65 @@ object MultimodalCodecs {
     var h = 0
     while (h < 8 && 3 + h < dim) { out(3 + h) = hist(h).toFloat / n; h += 1 }
     out
+  }
+
+  // ------------------------------------------------------------ PNG / GIF
+
+  /** Encode RGB pixels as PNG — lossless by spec, so
+    * `decodeImage(encodePng(img)) == img` bit-for-bit for any input.
+    */
+  def encodePng(img: BmpImage): Array[Byte] = encodeImageIo(img, "png")
+
+  /** Encode as GIF. GIF palettes hold ≤256 colors: encoding is lossless
+    * ONLY for images with ≤256 distinct colors (the Java writer quantizes
+    * beyond that). Callers wanting bit-exact roundtrips constrain the
+    * palette (e.g. grayscale).
+    */
+  def encodeGif(img: BmpImage): Array[Byte] = encodeImageIo(img, "gif")
+
+  private def encodeImageIo(img: BmpImage, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((img.rgb(i * 3) & 0xff) << 16) |
+        ((img.rgb(i * 3 + 1) & 0xff) << 8) | (img.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(bi, format, out)
+    require(ok, s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported compressed image (PNG, GIF, BMP variants)
+    * to top-down RGB. `maxPixels` bounds decompression-bomb blowup: a 100-TB
+    * scan must not let one adversarial 30 KB PNG allocate a 4 GB pixel
+    * buffer inside an executor — oversized images return None and are
+    * counted as fallbacks, never OOM the task.
+    */
+  def decodeImage(payload: Array[Byte], maxPixels: Long = 64L << 20): Option[BmpImage] = {
+    try {
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (bi == null) return None
+      val w = bi.getWidth
+      val h = bi.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+      // getRGB color-converts any source model (palette, gray, 16-bit) to
+      // sRGB ints — exact for PNG/GIF whose storage is already 8-bit RGB(A)
+      val px = bi.getRGB(0, 0, w, h, null, 0, w)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        rgb(i * 3) = ((px(i) >> 16) & 0xff).toByte
+        rgb(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+        rgb(i * 3 + 2) = (px(i) & 0xff).toByte
+        i += 1
+      }
+      Some(BmpImage(w, h, rgb))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ------------------------------------------------------------------ WAV

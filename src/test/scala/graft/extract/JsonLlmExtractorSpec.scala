@@ -49,6 +49,36 @@ class JsonLlmExtractorSpec extends AnyFunSuite {
     assert(doc.nodes.isEmpty && doc.rels.isEmpty && doc.chunk_id == "c")
   }
 
+  test("strict_mode filters planted off-schema types on the NORMALIZED form") {
+    // one on-schema node, one off-schema node ("alien device"), one
+    // on-schema rel, one off-schema rel — mirrors
+    // LLMEntityRelationshipExtractor.py:113-125
+    val out =
+      """{"nodes": [
+        |  {"id": "Marie Curie", "node_type": "famous person", "definition": "p"},
+        |  {"id": "Orb", "node_type": "alien device", "definition": "x"}],
+        |"rels": [
+        |  {"source": "Marie Curie", "target": "Sorbonne", "relation_type": "works at", "definition": ""},
+        |  {"source": "Orb", "target": "Sorbonne", "relation_type": "hovers over", "definition": ""}
+        |]}""".stripMargin
+    val strict = new JsonLlmExtractor(clientReturning(out),
+      allowedEntityTypes = Seq("Famous_person", "Org"),
+      allowedRelationshipTypes = Seq("WORKS_AT"),
+      strictMode = true)
+    val doc = strict.extract("c", "t")
+    assert(doc.nodes.map(_.id) == Seq("Marie Curie"))
+    assert(doc.rels.map(_.relation_type) == Seq("WORKS_AT"))
+    // strict_mode with EMPTY allow-lists filters nothing (reference: each
+    // list gates its own filter)
+    val strictNoLists = new JsonLlmExtractor(clientReturning(out), strictMode = true)
+    val doc2 = strictNoLists.extract("c", "t")
+    assert(doc2.nodes.size == 2 && doc2.rels.size == 2)
+    // strict off: allow-lists alone do nothing
+    val loose = new JsonLlmExtractor(clientReturning(out),
+      allowedEntityTypes = Seq("Famous_person"))
+    assert(loose.extract("c", "t").nodes.size == 2)
+  }
+
   test("runs inside the extraction stage with a deterministic fake backend") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

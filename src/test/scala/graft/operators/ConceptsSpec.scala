@@ -52,4 +52,78 @@ class ConceptsSpec extends AnyFunSuite {
     assert(members.as[(String, String)].collect().toSet ==
       Set(("InCommunityd", "d"), ("InCommunityd", "e")))
   }
+
+  // -------------------------------------------------- concept tree (r4)
+
+  private def cover(rows: (String, String)*) = rows.toDF("concept_id", "member_id")
+
+  test("conceptCover: AND intersects child covers, OR unions, bottom-up through levels") {
+    // tree: and1 = AND(l1, l2); or1 = OR(l2, l3); top = AND(and1, or1)
+    val concepts = Seq(
+      ("l1", "ENTITY_LEAF"), ("l2", "ENTITY_LEAF"), ("l3", "ENTITY_LEAF"),
+      ("and1", "AND"), ("or1", "OR"), ("top", "AND")).toDF("concept_id", "concept_type")
+    val tree = Seq(
+      ("l1", "and1"), ("l2", "and1"),
+      ("l2", "or1"), ("l3", "or1"),
+      ("and1", "top"), ("or1", "top")).toDF("child_id", "parent_id")
+    val leaves = cover(
+      ("l1", "a"), ("l1", "b"), ("l1", "c"),
+      ("l2", "b"), ("l2", "c"), ("l2", "d"),
+      ("l3", "c"), ("l3", "e"))
+    val out = Concepts.conceptCover(concepts, tree, leaves)
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out("and1") == Set("b", "c"))           // {a,b,c} ∩ {b,c,d}
+    assert(out("or1") == Set("b", "c", "d", "e"))  // {b,c,d} ∪ {c,e}
+    assert(out("top") == Set("b", "c"))            // {b,c} ∩ {b,c,d,e}
+  }
+
+  test("conceptCover: an empty-cover leaf still unblocks its AND parent (empty intersect)") {
+    val concepts = Seq(("l1", "ENTITY_LEAF"), ("lEmpty", "ENTITY_LEAF"), ("p", "AND"))
+      .toDF("concept_id", "concept_type")
+    val tree = Seq(("l1", "p"), ("lEmpty", "p")).toDF("child_id", "parent_id")
+    val out = Concepts.conceptCover(concepts, tree, cover(("l1", "a")))
+      .as[(String, String)].collect()
+    assert(!out.exists(_._1 == "p")) // p resolves to the empty set, no deadlock
+    assert(out.toSet == Set(("l1", "a")))
+  }
+
+  test("conceptCooccurrence counts |cover∩cover| for same-type ROOT pairs only") {
+    val concepts = Seq(
+      ("c1", "ENTITY_LEAF"), ("c2", "ENTITY_LEAF"), ("c3", "ENTITY_LEAF"),
+      ("other", "REL_LEAF"), ("childC", "ENTITY_LEAF"), ("pC", "AND"))
+      .toDF("concept_id", "concept_type")
+    // childC is under pC, so childC is NOT a root and must not pair
+    val tree = Seq(("childC", "pC")).toDF("child_id", "parent_id")
+    val cov = cover(
+      ("c1", "a"), ("c1", "b"), ("c1", "c"),
+      ("c2", "b"), ("c2", "c"), ("c2", "d"),
+      ("c3", "z"),
+      ("other", "a"), ("other", "b"), // same members, different type: no pair
+      ("childC", "a"), ("childC", "b"))
+    val got = Concepts.conceptCooccurrence(concepts, tree, cov)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("c1", "c2", "ENTITY_LEAF", 2L))) // {b,c}; c3 disjoint; childC non-root
+  }
+
+  test("buildConceptTree merges >=min pairs under <a>_AND_<b> parents (reference id order)") {
+    val concepts = Seq(("beta", "E"), ("alpha", "E"), ("gamma", "E"))
+      .toDF("concept_id", "concept_type")
+    val tree = Seq.empty[(String, String)].toDF("child_id", "parent_id")
+    val cov = cover(
+      ("alpha", "m1"), ("alpha", "m2"), ("alpha", "m3"),
+      ("beta", "m1"), ("beta", "m2"), ("beta", "m4"),
+      ("gamma", "m1")) // gamma co-occurs once with each — below threshold 2
+    val (newConcepts, newEdges) = Concepts.buildConceptTree(concepts, tree, cov,
+      minCooccurrence = 2)
+    assert(newConcepts.as[(String, String)].collect().toSet ==
+      Set(("alpha_AND_beta", "AND"))) // min id first, like `IF c.id <= conc`
+    assert(newEdges.as[(String, String)].collect().toSet ==
+      Set(("alpha", "alpha_AND_beta"), ("beta", "alpha_AND_beta")))
+    // the grown tree feeds back: the new parent's cover is the intersection
+    val all = concepts.unionByName(newConcepts)
+    val allEdges = tree.unionByName(newEdges)
+    val full = Concepts.conceptCover(all, allEdges, cov)
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full("alpha_AND_beta") == Set("m1", "m2"))
+  }
 }

@@ -83,22 +83,101 @@ class MultimodalCodecsSpec extends AnyFunSuite {
     assert(tone(0) > 0f && tone(1) > 0f)
   }
 
-  test("extractFeaturesDecoded: real decode for bmp/wav, observable stub fallback") {
+  test("PNG round-trip via ImageIO is pixel-exact (lossless by spec)") {
+    for (w <- Seq(1, 3, 8, 17); h <- Seq(1, 2, 9)) {
+      val img = gradient(w, h)
+      val back = decodeImage(encodePng(img)).get
+      assert(back.width == w && back.height == h)
+      assert(back.rgb.sameElements(img.rgb), s"png pixels differ at ${w}x$h")
+    }
+  }
+
+  test("hand-built PNG: known bytes decode to the expected pixels") {
+    // 2x1 image, pixels (255,0,0) and (0,0,255), built chunk by chunk from
+    // the PNG spec (signature, IHDR, IDAT with a deflate-compressed
+    // filter-0 scanline, IEND) — no ImageIO writer involved, so this pins
+    // the DECODER against the public format spec, not against itself.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(1) // width 2, height 1
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (truecolor)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    val scanline = Array[Byte](0, 255.toByte, 0, 0, 0, 0, 255.toByte) // filter 0 + RGB RGB
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(scanline); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf)
+      d.end()
+      buf.take(n)
+    }
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    val img = decodeImage(png).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.pixel(0, 0) == ((255, 0, 0)) && img.pixel(1, 0) == ((0, 0, 255)))
+  }
+
+  test("GIF round-trip is pixel-exact for <=256-color images") {
+    // grayscale ramp: 256 distinct colors max, inside the GIF palette bound
+    val w = 16; val h = 8
+    val rgb = Array.tabulate(w * h * 3) { i => val g = ((i / 3) * 2 % 256); g.toByte }
+    val img = BmpImage(w, h, rgb)
+    val back = decodeImage(encodeGif(img)).get
+    assert(back.width == w && back.height == h)
+    assert(back.rgb.sameElements(img.rgb))
+  }
+
+  test("decodeImage rejects foreign, torn, and decompression-bomb payloads") {
+    assert(decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(decodeImage("not an image at all".getBytes).isEmpty)
+    val png = encodePng(gradient(10, 10))
+    assert(decodeImage(png.take(30)).isEmpty) // truncated after IHDR
+    // a genuine decode above the pixel budget must return None, not allocate
+    assert(decodeImage(png, maxPixels = 50).isEmpty)
+  }
+
+  test("extractFeaturesDecoded: real decode for bmp/wav/png/gif, observable stub fallback") {
     import spark.implicits._
-    val media = Multimodal.synthEncoded(spark, 30, seed = 7L)
+    val media = Multimodal.synthEncoded(spark, 50, seed = 7L)
     val out = Multimodal.extractFeaturesDecoded(media, dim = 16).collect()
-    assert(out.length == 30)
+    assert(out.length == 50)
     val byFormat = out.groupBy(_.format)
-    // every bmp and wav row decoded for real; every mp4 fell back, flagged
+    assert(byFormat.keySet == Set("bmp", "wav", "mp4", "png", "gif"))
+    // every decodable format decoded for real; every mp4 fell back, flagged
     assert(byFormat("bmp").forall(_.decoded))
     assert(byFormat("wav").forall(_.decoded))
+    assert(byFormat("png").forall(_.decoded))
+    assert(byFormat("gif").forall(_.decoded))
     assert(byFormat("mp4").forall(!_.decoded))
     // decoded image features carry real channel means (bounded 0..255)
     assert(byFormat("bmp").forall(f => f.features(0) >= 0f && f.features(0) <= 255f))
-    // a corrupted bmp payload flips to the flagged fallback, job survives
+    assert(byFormat("png").forall(f => f.features(0) >= 0f && f.features(0) <= 255f))
+    // gif rows are grayscale: mean R == mean G == mean B
+    assert(byFormat("gif").forall(f => f.features(0) == f.features(1) &&
+      f.features(1) == f.features(2)))
+    // a corrupted payload flips to the flagged fallback, job survives
     val corrupted = media.map(m =>
-      if (m.format == "bmp") m.copy(payload = m.payload.take(20)) else m)
+      if (m.format == "bmp" || m.format == "png") m.copy(payload = m.payload.take(20)) else m)
     val out2 = Multimodal.extractFeaturesDecoded(corrupted, dim = 16).collect()
-    assert(out2.filter(_.format == "bmp").forall(!_.decoded))
+    assert(out2.filter(f => f.format == "bmp" || f.format == "png").forall(!_.decoded))
+  }
+
+  test("png/gif payloads in synthEncoded decode back to their planted geometry") {
+    import spark.implicits._
+    val media = Multimodal.synthEncoded(spark, 20, seed = 3L).collect()
+    media.filter(m => m.format == "png" || m.format == "gif").foreach { m =>
+      val img = decodeImage(m.payload).get
+      assert(img.width == m.width && img.height == m.height,
+        s"${m.media_id}: decoded ${img.width}x${img.height}, meta ${m.width}x${m.height}")
+    }
   }
 }
