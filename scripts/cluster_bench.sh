@@ -4,15 +4,19 @@
 # JVMs with the real inter-process shuffle path. Archives one JSON with
 # both points and the derived scaling efficiency to BENCH/runs/.
 #
-# Usage: scripts/cluster_bench.sh [pages] [samples] [execMemMB]
+# Usage: scripts/cluster_bench.sh [pages] [samples] [execMemMB] [nLow] [nHigh]
 # execMemMB is PER EXECUTOR and identical at both points — per-core memory
 # stays constant across the scale-out, the control a real cluster has.
 # (600k pages needs ~12288; the 6144 default covers <=300k.)
+# nLow/nHigh (default 2/8) pick the executor pair; 1/4 keeps the 4N point
+# at 16 cores — bus headroom on a 32-core box, the r3 verdict's ask.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 PAGES="${1:-150000}"
 SAMPLES="${2:-3}"
 MEM="${3:-6144}"
+NLOW="${4:-2}"
+NHIGH="${5:-8}"
 JAR=target/scala-2.13/graphragspark_2.13-0.1.0.jar
 [ -f "$JAR" ] || sbt -batch package
 export SPARK_HOME=/opt/spark
@@ -33,10 +37,10 @@ run() { # run <executors> <coresPerExec> <memMB>
     "$JAR" "$PAGES" "$SAMPLES" 2>/dev/null | grep '"master"' | tail -1
 }
 
-echo "[cluster-bench] N=2 executors x 4 cores ..." >&2
-LOW=$(run 2 4 "$MEM")
-echo "[cluster-bench] 4N=8 executors x 4 cores ..." >&2
-HIGH=$(run 8 4 "$MEM")
+echo "[cluster-bench] N=$NLOW executors x 4 cores ..." >&2
+LOW=$(run "$NLOW" 4 "$MEM")
+echo "[cluster-bench] 4N=$NHIGH executors x 4 cores ..." >&2
+HIGH=$(run "$NHIGH" 4 "$MEM")
 
 python3 - "$LOW" "$HIGH" "$PAGES" <<'EOF'
 import json, sys, subprocess, datetime, pathlib

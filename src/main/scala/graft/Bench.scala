@@ -144,6 +144,18 @@ object Bench {
     val profSteal = (stealTicks() - ps0) / 100.0
     profSpark.stop()
 
+    // adversarial skew group (r4, VERDICT item 4): the same chain on a
+    // web-Zipf corpus (cluster 0 hot in 20% of facts, one domain at 30%)
+    // with per-stage task-time distributions — data here, hard guard in
+    // plans.SkewBench's main (bench must not die on a host-steal spike)
+    val skewSpark = session(coresHigh)
+    val skewCfg = cfg.copy(nPages = pages / 2,
+      nClusters = math.max(12, pages / 50),
+      hotClusterFrac = 0.2, hotDomainFrac = 0.3)
+    val (skewWall, skewTriples, skewRows) =
+      plans.SkewBench.run(skewSpark, skewCfg, minTasks = 16, minMaxMs = 500L)
+    skewSpark.stop()
+
     // headline queries at full parallelism
     val spark = session(coresHigh)
     val headline = Seq(
@@ -210,9 +222,18 @@ object Bench {
         s""""stage_walls_high_sec":$sw,""" +
         s""""stage_profile_total_sec":${f(profWall)},""" +
         s""""stage_profile_steal_sec":${f(profSteal)}}"""
+    val skewStages = skewRows.take(8).map(r =>
+      s"""{"stage":${r.stageId},"tasks":${r.nTasks},"median_ms":${r.medianMs},""" +
+        s""""max_ms":${r.maxMs},"ratio":${f(r.ratio)}}""").mkString("[", ",", "]")
+    val skew =
+      s""""skew":{"pages":${skewCfg.nPages},"hot_cluster_frac":0.2,""" +
+        s""""hot_domain_frac":0.3,"wall_sec":${f(skewWall)},""" +
+        s""""resolved_triples":$skewTriples,""" +
+        s""""worst_task_over_median":${f(skewRows.headOption.map(_.ratio).getOrElse(1.0))},""" +
+        s""""stages":$skewStages}"""
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""curation_queries":$cs,$kg,""" +
+        s""""curation_queries":$cs,$kg,$skew,""" +
         s""""sf":"$sfDir","git_sha":"$gitSha","utc":"$utc"}"""
     // stdout line for humans AND a file for machines: sbt wraps stdout in
     // [info] noise, which left the driver's `parsed` field null in r1

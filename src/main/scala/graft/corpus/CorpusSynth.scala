@@ -42,7 +42,18 @@ object CorpusSynth extends Serializable {
         * the real web).
         */
       blockSize: Int = 6,
-      blockBias: Double = 0.85)
+      blockBias: Double = 0.85,
+      /** Adversarial web-Zipf knobs (r4, default OFF): with probability
+        * `hotClusterFrac` a fact's subject is cluster 0 — the
+        * "united_states" entity that lands in ~that fraction of chunks and
+        * hammers the description merge / ER / lift joins; with probability
+        * `hotDomainFrac` a page's site is one hot domain (~that fraction of
+        * the crawl). Both draws are GATED on > 0 so the default rng
+        * sequence — and with it every pinned digest — is bit-identical to
+        * pre-r4 corpora.
+        */
+      hotClusterFrac: Double = 0.0,
+      hotDomainFrac: Double = 0.0)
 
   /** Golden resolved triple (canonical ids) with page provenance. */
   final case class GoldenTriple(subj_canonical: String, pred: String, obj_canonical: String, url: String)
@@ -132,7 +143,9 @@ object CorpusSynth extends Serializable {
 
     final case class Fact(subj: Cluster, sAlias: Int, verb: Int, obj: Cluster, oAlias: Int, noisy: Boolean)
     val facts = (0 until nFacts).map { _ =>
-      val sc = rng.nextInt(cfg.nClusters)
+      val sc =
+        if (cfg.hotClusterFrac > 0 && rng.nextDouble() < cfg.hotClusterFrac) 0
+        else rng.nextInt(cfg.nClusters)
       var oc =
         if (rng.nextDouble() < cfg.blockBias && cfg.nClusters > cfg.blockSize) {
           val block = sc / cfg.blockSize
@@ -164,7 +177,9 @@ object CorpusSynth extends Serializable {
     val title = s"Notes ${pseudoWord(6000 + (i % 400))} $i"
     val lines: Seq[String] = (title +: (defs ++ factLines ++ filler))
 
-    val site = pseudoWord(7000 + (i % 97))
+    val site =
+      if (cfg.hotDomainFrac > 0 && rng.nextDouble() < cfg.hotDomainFrac) "hothub"
+      else pseudoWord(7000 + (i % 97))
     val pathCase = if (i % 10 == 0) s"Page-$i" else s"page-$i"
     val url = s"https://$site.example.org/$pathCase"
     val lang = (i % 17) match {
