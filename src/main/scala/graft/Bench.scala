@@ -34,6 +34,10 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
+      // single shared JVM ⇒ one copy of the ER scoring map; inert at the
+      // 300k operating point (map ≈ 216 MB < the 256 MB default), lets
+      // SPARK_GRAFT_KG_PAGES sweeps past ~43k entities stay map-side
+      .config("spark.graft.er.maxBroadcastBytes", (2L << 30).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

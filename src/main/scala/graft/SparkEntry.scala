@@ -164,8 +164,13 @@ object SparkEntry {
     lazy val entities: Dataset[Entity] =
       GraphAssembly.entities(extracted).localCheckpoint(true)
     lazy val resolvesTo: Dataset[ResolvesTo] = {
-      val emb = Resolution.embedEntities(entities, Resolution.Params())
-      val pairs = Resolution.candidatePairs(emb, Resolution.Params())
+      // corpus-size-adaptive LSH blocking (r4): one cheap count on the
+      // checkpointed entity table keeps band buckets bounded at any scale —
+      // below the 65536-entity floor the params (and every pinned oracle)
+      // are bit-identical to the fixed defaults
+      val pEff = Resolution.scaledParams(Resolution.Params(), entities.count())
+      val emb = Resolution.embedEntities(entities, pEff)
+      val pairs = Resolution.candidatePairs(emb, pEff)
       Resolution.resolvesTo(entities, pairs).localCheckpoint(true)
     }
     lazy val triples: Dataset[Triple] = GraphAssembly.triples(extracted)

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample operators run as per-partition
   * batch functions over those bytes.
   *
-  * Decoding: uncompressed self-describing formats (24-bpp BMP, PCM16 WAV)
-  * are decoded FOR REAL by the pure-JVM [[MultimodalCodecs]] —
-  * [[extractFeaturesDecoded]] routes them to genuine pixel/sample feature
-  * extraction with an observable fallback flag. Compressed formats
-  * (png/jpeg/mp4) stay behind the deterministic `decodeStub` (this
-  * container ships no codec libraries); everything around the stub is the
+  * Decoding: 24-bpp BMP, PCM16 WAV (pure-JVM readers) and — via the JDK's
+  * own `javax.imageio`, zero added dependencies — PNG and GIF are decoded
+  * FOR REAL; [[extractFeaturesDecoded]] routes them to genuine pixel/sample
+  * feature extraction with an observable fallback flag. Only formats with
+  * no deterministic JVM decode path (jpeg — IDCT is implementation-defined
+  * across JVMs; mp4 — no JVM container codec) stay behind the deterministic
+  * `decodeStub`; everything around the stub is the
   * real Spark surface a production decoder plugs into: the schema, the
   * mapPartitions batching (one decoder instance per partition, exactly
   * like the extraction stage's pooled model clients), the size-aware

@@ -188,6 +188,34 @@ final class Catalog(val root: String, val spark: SparkSession) {
     finally out.close()
   }
 
+  /** Generic sidecar metadata file inside a table dir — build parameters
+    * later readers MUST reuse (e.g. the ER blocking index's derived
+    * (bands, bits): re-deriving them from a corpus that has since grown
+    * would silently disagree with the standing index). Written after the
+    * table commit it describes, same as the layout marker; an underscore
+    * name keeps parquet readers from touching it.
+    */
+  def writeSidecar(table: String, name: String, lines: Seq[String]): Unit = {
+    require(name.startsWith("_"), s"sidecar name must start with '_': $name")
+    val p = new org.apache.hadoop.fs.Path(path(table), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Lines of a table's sidecar file; None when absent. */
+  def readSidecar(table: String, name: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path(table), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      Some(new String(bytes, "UTF-8").split("\n").toSeq)
+    }
+  }
+
   /** Recorded (key columns, bucket count) of a bucketed table; None for flat
     * tables and pre-marker layouts (callers then fall back to their args).
     */

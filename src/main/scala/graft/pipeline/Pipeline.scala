@@ -52,6 +52,29 @@ object Pipeline {
       s"$corpus|$chunkerType|$characterChunkSize|$characterOverlap|$er"
   }
 
+  /** Effective ER params over the standing embeddings table (r4, adaptive
+    * blocking): a persisted blocking index pins its own (bands, bits) via
+    * the `_graft_er_params` sidecar — an incremental run over a GROWN
+    * corpus must keep signing with the standing index's geometry, not
+    * re-derive a larger one. With no index on disk, derive from the entity
+    * count ([[Resolution.scaledParams]]; identity below the 65536 floor,
+    * so every existing catalog/spec is unchanged).
+    */
+  private def erParamsFor(c: Catalog, base: Resolution.Params): Resolution.Params =
+    c.readSidecar("lsh_sigs", "_graft_er_params") match {
+      case Some(Seq(bands, bits, seed, dim)) =>
+        require(seed.toInt == base.seed && dim.toInt == base.dim,
+          s"lsh_sigs index was built with (seed=$seed, dim=$dim) but cfg.er has " +
+            s"(seed=${base.seed}, dim=${base.dim}) — rebuild the index or fix the config")
+        base.copy(bands = bands.toInt, bits = bits.toInt)
+      case Some(other) => sys.error(s"malformed _graft_er_params sidecar: $other")
+      case None => Resolution.scaledParams(base, c.read("embeddings").count())
+    }
+
+  private def writeErParams(c: Catalog, p: Resolution.Params): Unit =
+    c.writeSidecar("lsh_sigs", "_graft_er_params",
+      Seq(p.bands.toString, p.bits.toString, p.seed.toString, p.dim.toString))
+
   final case class Result(catalog: Catalog, stages: Seq[StageResult]) {
     def resolvedTriples: Dataset[ResolvedTriple] = {
       val spark = catalog.spark
@@ -132,9 +155,14 @@ object Pipeline {
     // persisted sign-RP blocking index — incremental runs re-sign only
     // changed entities and join the delta against this table
     if (cfg.incrementalLayout) stage("lsh_sigs") { c =>
-      c.writeKeyedCounted("lsh_sigs",
-        Resolution.signatures(c.read("embeddings"), cfg.er),
+      // full index rebuild: derive the blocking geometry fresh from the
+      // current corpus size and pin it beside the index for later readers
+      val pEff = Resolution.scaledParams(cfg.er, c.read("embeddings").count())
+      val n = c.writeKeyedCounted("lsh_sigs",
+        Resolution.signatures(c.read("embeddings"), pEff),
         Seq("entity_id", "band"), cfg.erBuckets)
+      writeErParams(c, pEff)
+      n
     }
 
     // every DocumentChunk is embedded (`ecc/app/graphrag/workers.py:115-117`,
@@ -148,7 +176,7 @@ object Pipeline {
 
     stage("candidate_pairs") { c =>
       val emb = c.read("embeddings")
-      val pairs = Resolution.candidatePairs(emb, cfg.er)
+      val pairs = Resolution.candidatePairs(emb, erParamsFor(c, cfg.er))
       if (cfg.incrementalLayout) c.writeKeyedCounted("candidate_pairs", pairs, Seq("src"), cfg.erBuckets)
       else c.writeCounted("candidate_pairs", pairs)
     }
@@ -385,7 +413,7 @@ object Pipeline {
     }
 
     stage("incr_candidate_pairs") { c =>
-      val p = cfg.er
+      val p = erParamsFor(c, cfg.er)
       val changed = c.read("delta_entities").localCheckpoint(true)
       val embAll = c.read("embeddings")
       if (changed.isEmpty && c.exists("lsh_sigs")) {
@@ -398,6 +426,7 @@ object Pipeline {
         // corpus once, recompute pairs fully, persist the index for next time
         c.writeKeyedCounted("lsh_sigs", Resolution.signatures(embAll, p),
           Seq("entity_id", "band"), cfg.erBuckets)
+        writeErParams(c, p)
         val pairs = Resolution.candidatePairs(embAll, p)
         if (c.isBucketed("candidate_pairs"))
           c.writeKeyedCounted("candidate_pairs", pairs, Seq("src"), cfg.erBuckets)

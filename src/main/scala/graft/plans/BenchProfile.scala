@@ -24,10 +24,14 @@ object BenchProfile {
     * ones per timed stage, so the sum slightly exceeds the un-instrumented
     * end-to-end wall — use it for attribution, not as the headline number.
     */
-  def profile(spark: SparkSession, cfg: CorpusSynth.Config): (Long, Vector[(String, Double)]) = {
+  def profile(spark: SparkSession, cfg: CorpusSynth.Config,
+      onStage: String => Unit = _ => ()): (Long, Vector[(String, Double)]) = {
     import spark.implicits._
     val walls = Vector.newBuilder[(String, Double)]
     def time[T](name: String)(f: => T): T = {
+      onStage(name) // listener hook: EnduranceBench tags Spark stages by the
+      // logical stage active when they first run, so spill attributes to a
+      // pipeline stage name instead of an anonymous AQE lambda
       val t0 = System.nanoTime()
       val r = f
       walls += name -> (System.nanoTime() - t0) / 1e9
@@ -44,11 +48,13 @@ object BenchProfile {
     val entities = time("entities") {
       GraphAssembly.entities(extracted).localCheckpoint(true)
     }
+    // same adaptive-blocking derivation as KgStages.resolvesTo
+    val pEff = Resolution.scaledParams(Resolution.Params(), entities.count())
     val emb = time("embed") {
-      Resolution.embedEntities(entities, Resolution.Params()).localCheckpoint(true)
+      Resolution.embedEntities(entities, pEff).localCheckpoint(true)
     }
     val pairs = time("candidate_pairs") {
-      Resolution.candidatePairs(emb, Resolution.Params()).localCheckpoint(true)
+      Resolution.candidatePairs(emb, pEff).localCheckpoint(true)
     }
     val res = time("resolves_to_cc") {
       Resolution.resolvesTo(entities, pairs).toDF().localCheckpoint(true)

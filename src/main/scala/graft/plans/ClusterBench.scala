@@ -39,6 +39,10 @@ object ClusterBench {
     val spark = SparkSession.builder() // master comes from spark-submit
       .appName("graft-cluster-bench")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
+      // 4-core executors carry >= 6 GB heaps in every script configuration;
+      // a ~0.5 GB per-executor scoring map (600k pages) is the cheap side
+      // of the trade against the shuffle path's array-carrying exchange
+      .config("spark.graft.er.maxBroadcastBytes", (1L << 30).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

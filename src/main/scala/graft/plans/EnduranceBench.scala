@@ -27,6 +27,7 @@ object EnduranceBench {
 
   final case class StageAgg(
       var name: String = "",
+      var logical: String = "", // pipeline stage active when first task landed
       var tasks: Int = 0,
       var maxTaskMs: Long = 0L,
       var shuffleReadB: Long = 0L,
@@ -37,11 +38,17 @@ object EnduranceBench {
 
   final class SpillListener extends SparkListener {
     val stages: TrieMap[Int, StageAgg] = TrieMap.empty
+    /** Set by the profile driver before each logical stage — an anonymous
+      * AQE-lambda Spark stage name attributes to the pipeline stage that
+      * launched it (eager checkpoints between stages keep windows honest).
+      */
+    @volatile var currentLogical: String = "setup"
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         val agg = stages.getOrElseUpdate(t.stageId, StageAgg())
         agg.synchronized {
+          if (agg.logical.isEmpty) agg.logical = currentLogical
           agg.tasks += 1
           agg.maxTaskMs = math.max(agg.maxTaskMs, t.taskInfo.duration)
           agg.shuffleReadB += m.shuffleReadMetrics.totalBytesRead
@@ -64,6 +71,15 @@ object EnduranceBench {
       .master(s"local[$cores]")
       .appName("graft-endurance")
       .config("spark.sql.shuffle.partitions", cores * 4) // larger corpus ⇒ more, smaller partitions
+      // Config parity with graft.Bench/ClusterBench: Spark's 128-key default
+      // flips ObjectHashAggregate (the collect_list merges) to SORT-based
+      // aggregation on any realistic key count — at 3M pages that sorted the
+      // full occurrence stream (measured: 3.8 TB mem-spill in one stage).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
+      // one shared local[N] JVM holds ONE copy of the ER scoring map, so a
+      // multi-GB bound is safe here and map-side scoring avoids the shuffle
+      // path's array-carrying exchange (Resolution.candidatePairs docs)
+      .config("spark.graft.er.maxBroadcastBytes", (4L << 30).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -74,7 +90,11 @@ object EnduranceBench {
     val cfg = CorpusSynth.Config(nPages = pages, nClusters = math.max(12, pages / 25))
     val rssBefore = rssMb()
     val t0 = System.nanoTime()
-    val n = graft.SparkEntry.KgStages(spark, cfg).resolvedTriples.count()
+    // stage-by-stage (BenchProfile) rather than the fused KgStages chain:
+    // the eager checkpoint between stages is what lets per-stage spill
+    // attribute cleanly; walls stay comparable (attribution tool, not the
+    // headline number — graft.Bench owns that)
+    val (n, stageWalls) = BenchProfile.profile(spark, cfg, listener.currentLogical = _)
     val wall = (System.nanoTime() - t0) / 1e9
     spark.sparkContext.removeSparkListener(listener)
     val rssAfter = rssMb()
@@ -88,11 +108,12 @@ object EnduranceBench {
     println(f"[endurance] pages=$pages wall=$wall%.1fs resolved_triples=$n " +
       f"triples_per_sec=${n / wall}%.0f mem_spill_mb=${mb(totalMemSpill)} " +
       f"disk_spill_mb=${mb(totalDiskSpill)} rss_mb=$rssBefore->$rssAfter")
+    stageWalls.foreach { case (name, s) => println(f"[endurance] wall $name%-20s $s%8.2f s") }
     rows.take(12).foreach { case (sid, a) =>
       println(f"[endurance] stage=$sid%-4d tasks=${a.tasks}%-5d maxTask=${a.maxTaskMs}%-7d " +
         f"shufR=${mb(a.shuffleReadB)}%-6d shufW=${mb(a.shuffleWriteB)}%-6d " +
         f"spillMem=${mb(a.memSpillB)}%-7d spillDisk=${mb(a.diskSpillB)}%-6d " +
-        f"peakMem=${mb(a.maxPeakMemB)}%-6d  ${a.name}")
+        f"peakMem=${mb(a.maxPeakMemB)}%-6d  ${a.logical}%-16s ${a.name}")
     }
     // archive
     val sha = try new String(java.lang.Runtime.getRuntime
@@ -101,17 +122,19 @@ object EnduranceBench {
     val utc = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
     val stagesJson = rows.take(20).map { case (sid, a) =>
-      s"""{"stage":$sid,"tasks":${a.tasks},"max_task_ms":${a.maxTaskMs},""" +
+      s"""{"stage":$sid,"logical":"${a.logical}","tasks":${a.tasks},"max_task_ms":${a.maxTaskMs},""" +
         s""""shuffle_read_mb":${mb(a.shuffleReadB)},"shuffle_write_mb":${mb(a.shuffleWriteB)},""" +
         s""""spill_mem_mb":${mb(a.memSpillB)},"spill_disk_mb":${mb(a.diskSpillB)},""" +
         s""""peak_task_mem_mb":${mb(a.maxPeakMemB)},"name":"${a.name.replace("\"", "'")}"}"""
     }.mkString("[", ",", "]")
+    val wallsJson = stageWalls.map { case (k, v) =>
+      s""""$k":${"%.2f".format(v)}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"endurance","pages":$pages,"cores":$cores,""" +
         s""""wall_sec":${"%.3f".format(wall)},"resolved_triples":$n,""" +
         s""""triples_per_sec":${"%.1f".format(n / wall)},""" +
         s""""mem_spill_mb":${mb(totalMemSpill)},"disk_spill_mb":${mb(totalDiskSpill)},""" +
-        s""""rss_mb_end":$rssAfter,"stages":$stagesJson,""" +
+        s""""rss_mb_end":$rssAfter,"stage_walls_sec":$wallsJson,"stages":$stagesJson,""" +
         s""""git_sha":"$sha","utc":"$utc"}"""
     try {
       val hist = java.nio.file.Paths.get("BENCH/runs")

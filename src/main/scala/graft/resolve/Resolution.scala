@@ -76,6 +76,49 @@ object Resolution {
     Array.fill(p.bands * p.bits)(Array.fill(p.dim)(rng.nextGaussian().toFloat))
   }
 
+  /** Corpus-size-adaptive (bits, bands) — the r4 endurance probe's fix.
+    *
+    * Fixed 12-bit bands saturate as the entity table grows: the expected
+    * RANDOM-collision pair count is bands · N²/2^bits/2, i.e. QUADRATIC in N
+    * once mean bucket load N/2^bits exceeds ~1 (measured at 3M pages /
+    * ~360k entities: 62 GB of pair shuffle, 3.8 TB of sort spill, 772 s of
+    * a 936 s wall in candidate_pairs alone). Scaling `bits` with log2(N)
+    * pins the mean load at `targetLoad`, making the random-pair volume
+    * bands · N · targetLoad / 2 — LINEAR in N; `bands` then grows just
+    * enough to keep the DEFAULT configuration's true-pair recall at the
+    * configured cosine threshold (sign-RP per-band match probability
+    * q = (1 − θ/π)^bits; recall over m bands = 1 − (1−q)^m; solve m for the
+    * recall the (p.bands, p.bits) default delivers — bands grows only as
+    * N^0.22 at θ(0.9)).
+    *
+    * Below `floor` entities the params return UNCHANGED — every pinned
+    * oracle (sf tiers, kg_eval P/R gate) and the 300k-page bench operating
+    * point sit far under the floor, so their outputs are bit-identical.
+    * Above the caps (bits 24 / bands 128 ⇒ ~67M entities at load 4) the
+    * volume term goes quadratic again — the 10^12-doc regime needs the
+    * persisted-index sharding documented in BENCH/BASELINE.md, not bigger
+    * in-memory bands.
+    *
+    * Callers that PERSIST signatures (Pipeline's lsh_sigs) must derive once
+    * and record (bands, bits) beside the index — re-deriving from a GROWN
+    * corpus would silently mismatch the standing index; see the
+    * `_graft_er_params` marker.
+    */
+  def scaledParams(p: Params, nEntities: Long, floor: Long = 65536L,
+      targetLoad: Double = 4.0, maxBits: Int = 24, maxBands: Int = 128): Params = {
+    if (nEntities <= floor) return p
+    val q1 = 1.0 - math.acos(math.min(1.0, p.cosineThreshold)) / math.Pi // per-plane
+    val bits = math.min(maxBits, math.max(p.bits,
+      math.ceil(log2(nEntities / targetLoad)).toInt))
+    val r0 = 1.0 - math.pow(1.0 - math.pow(q1, p.bits), p.bands) // default recall
+    val qb = math.pow(q1, bits)
+    val bands = math.min(maxBands, math.max(p.bands,
+      math.ceil(math.log(1.0 - r0) / math.log(1.0 - qb)).toInt))
+    p.copy(bits = bits, bands = bands)
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
   /** Signature rows (entity_id, band, sig) — exposed for plan debugging.
     *
     * Sparse-aware signing: the deterministic [[graft.extract.HashEmbedder]]
@@ -167,7 +210,14 @@ object Resolution {
         // shrinks to the surviving pairs (≤ bands× smaller). The fused
         // probe halves this stage's fixed job count (r3: the KG chain is
         // fixed-latency-bound at 150k pages, F ≈ 14 s of T32 ≈ 18 s).
-        val maxRows = (p.maxBroadcastBytes / (p.dim.toLong * 4L)).toInt
+        // session override for the scoring-map bound: one shared JVM
+        // (local[N]) or fat executors hold ONE copy of the map, so a
+        // several-GB bound is safe there and map-side scoring beats the
+        // shuffle path's array-carrying exchange by orders of magnitude —
+        // while the 256 MB default stays right for small executors
+        val bcBytes = spark.conf.getOption("spark.graft.er.maxBroadcastBytes")
+          .map(_.toLong).getOrElse(p.maxBroadcastBytes)
+        val maxRows = (bcBytes / (p.dim.toLong * 4L)).toInt
         val probe = embeddings.limit(maxRows + 1).as[(String, Array[Float])].collect()
         if (probe.length <= maxRows) {
           val vecMap = spark.sparkContext.broadcast(probe.toMap)
@@ -184,6 +234,15 @@ object Resolution {
             .dropDuplicates("src", "dst")
             .transform(symTopK(_, p))
         }
+        // Beyond-bound fallback. Cost shape, measured and documented: the
+        // dedup shuffles the (src, dst) pair stream — LINEAR in N when the
+        // caller sized (bits, bands) via [[scaledParams]] — but the second
+        // join must re-exchange rows already carrying emb_a (dim·4 bytes
+        // each), so its shuffle is pairs × vector width. That is the same
+        // linear-in-data volume as any self-join of the embedding table on
+        // a bounded-multiplicity key, and AQE splits its skew; raising
+        // `spark.graft.er.maxBroadcastBytes` on fat executors avoids it
+        // entirely (the r4 endurance point runs map-side at 3M pages).
         raw.dropDuplicates("src", "dst")
           .join(embeddings.select($"entity_id".as("src"), $"embedding".as("emb_a")), "src")
           .join(embeddings.select($"entity_id".as("dst"), $"embedding".as("emb_b")), "dst")

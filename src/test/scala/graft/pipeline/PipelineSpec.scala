@@ -186,5 +186,12 @@ class PipelineSpec extends AnyFunSuite {
     val again = Pipeline.runIncremental(spark, baseCfg.copy(runId = "delta2"), newBatch)
     assert(again.stages.find(_.stage == "incr_pages").get.rows == 0L)
     assertSame("resolved_triples")
+
+    // the blocking index pins its geometry (r4 adaptive blocking): the
+    // sidecar records (bands, bits, seed, dim) — at this sub-floor corpus
+    // the derived params equal the defaults, and incremental runs read the
+    // sidecar back instead of re-deriving from the grown corpus
+    assert(incr.catalog.readSidecar("lsh_sigs", "_graft_er_params")
+      .contains(Seq("20", "12", "42", "512")))
   }
 }

@@ -82,4 +82,42 @@ class ResolutionSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.size == 40 * p.bands)
   }
+
+  test("scaledParams: identity at/below the floor — pinned oracles untouched") {
+    val p = Resolution.Params()
+    assert(Resolution.scaledParams(p, 0L) == p)
+    assert(Resolution.scaledParams(p, 180L) == p) // sf0.01 KG corpus
+    assert(Resolution.scaledParams(p, 36000L) == p) // 300k-page bench point
+    assert(Resolution.scaledParams(p, 65536L) == p) // boundary inclusive
+  }
+
+  test("scaledParams: bits pin the mean bucket load, bands preserve recall") {
+    val p = Resolution.Params()
+    val q1 = 1.0 - math.acos(p.cosineThreshold) / math.Pi
+    val r0 = 1.0 - math.pow(1.0 - math.pow(q1, p.bits), p.bands)
+    for (n <- Seq(100000L, 360000L, 1000000L, 10000000L)) {
+      val s = Resolution.scaledParams(p, n)
+      assert(s.bits >= p.bits && s.bands >= p.bands)
+      // mean random bucket load n/2^bits <= targetLoad (up to ceil rounding)
+      assert(n.toDouble / (1L << s.bits) <= 4.0 * 2.0,
+        s"load ${n.toDouble / (1L << s.bits)} at n=$n bits=${s.bits}")
+      // recall at the scaled geometry >= the default geometry's recall
+      val r = 1.0 - math.pow(1.0 - math.pow(q1, s.bits), s.bands)
+      assert(r >= r0 - 1e-9, s"recall $r < default $r0 at n=$n (${s.bits}/${s.bands})")
+      // the scale property itself: expected random-collision pair volume is
+      // linear in n — bands * n * load / 2 <= c * n for a constant c
+      val vol = s.bands.toDouble * n * n / (1L << s.bits).toDouble / 2.0
+      assert(vol <= 600.0 * n, s"pair volume $vol superlinear at n=$n")
+    }
+    // derivation is monotone in n and capped
+    val big = Resolution.scaledParams(p, 100000000L)
+    assert(big.bits <= 24 && big.bands <= 128)
+  }
+
+  test("scaledParams: unchanged fields ride through") {
+    val p = Resolution.Params(dim = 64, seed = 7, cosineThreshold = 0.8, topK = 5)
+    val s = Resolution.scaledParams(p, 1000000L)
+    assert(s.dim == 64 && s.seed == 7 && s.cosineThreshold == 0.8 && s.topK == 5)
+    assert(s.maxBucket == p.maxBucket && s.maxBroadcastBytes == p.maxBroadcastBytes)
+  }
 }
