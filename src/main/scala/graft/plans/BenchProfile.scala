@@ -25,7 +25,8 @@ object BenchProfile {
     * end-to-end wall — use it for attribution, not as the headline number.
     */
   def profile(spark: SparkSession, cfg: CorpusSynth.Config,
-      onStage: String => Unit = _ => ()): (Long, Vector[(String, Double)]) = {
+      onStage: String => Unit = _ => (),
+      includeCommunities: Boolean = false): (Long, Vector[(String, Double)]) = {
     import spark.implicits._
     val walls = Vector.newBuilder[(String, Double)]
     def time[T](name: String)(f: => T): T = {
@@ -64,6 +65,15 @@ object BenchProfile {
     }
     val lifted = time("lift") {
       Lift.resolvedTriples(triples, res.as[ResolvesTo]).toDF().localCheckpoint(true)
+    }
+    // optional: the community stages (Louvain levels + summaries input) —
+    // off in graft.Bench (its KG wall history is chain-through-lift), on in
+    // EnduranceBench so the iterative distributed-moving route above the
+    // 2M-edge local-finish bound gets a measured large-corpus point too
+    if (includeCommunities) time("communities") {
+      val louvain = graft.community.Louvain.run(lifted,
+        allEntities = Some(res.select("canonical_id").distinct()))
+      louvain.levels.map(_.membership.count()).sum
     }
     val n = lifted.count()
     (n, walls.result())

@@ -94,7 +94,8 @@ object EnduranceBench {
     // the eager checkpoint between stages is what lets per-stage spill
     // attribute cleanly; walls stay comparable (attribution tool, not the
     // headline number — graft.Bench owns that)
-    val (n, stageWalls) = BenchProfile.profile(spark, cfg, listener.currentLogical = _)
+    val (n, stageWalls) = BenchProfile.profile(spark, cfg,
+      listener.currentLogical = _, includeCommunities = true)
     val wall = (System.nanoTime() - t0) / 1e9
     spark.sparkContext.removeSparkListener(listener)
     val rssAfter = rssMb()
