@@ -97,6 +97,29 @@ object Bench {
     (n, Sample(ordinal, wall, steal, gc, rssMb()))
   }
 
+  /** Full PIPELINE wall: the chain plus the Louvain community hierarchy —
+    * the stage the headline historically excluded (r4 VERDICT: 67% of true
+    * pipeline wall at 3M pages before the driver-side hierarchy finish).
+    * Communities = Louvain.run forced via membership counts, the same
+    * definition EnduranceBench attributes against. The chain-only series
+    * above stays for r1-r4 history continuity; this group is the honest
+    * user-facing number.
+    */
+  private def runKgFull(cores: Int, cfg: CorpusSynth.Config, ordinal: Int): (Long, Sample) = {
+    val spark = session(cores)
+    val s0 = stealTicks()
+    val g0 = gcMillis()
+    val t0 = System.nanoTime()
+    val st = SparkEntry.KgStages(spark, cfg)
+    val n = st.resolvedTriples.count()
+    st.louvain.levels.foreach(_.membership.count())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val steal = (stealTicks() - s0) / 100.0
+    val gc = gcMillis() - g0
+    spark.stop()
+    (n, Sample(ordinal, wall, steal, gc, rssMb()))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -137,6 +160,20 @@ object Bench {
     val thrLow = nLow / wallLow
     val thrHigh = nHigh / wallHigh
     val eff = (thrHigh / thrLow) / (coresHigh.toDouble / coresLow)
+
+    // kg_full (r5): chain + communities, interleaved best-of-2 per level —
+    // the full-pipeline wall AND its own scaling efficiency alongside the
+    // chain-only history series
+    val (nFull, full1Low) = runKgFull(coresLow, cfg, 7)
+    val (_, full1High) = runKgFull(coresHigh, cfg, 8)
+    val (_, full2Low) = runKgFull(coresLow, cfg, 9)
+    val (_, full2High) = runKgFull(coresHigh, cfg, 10)
+    val fullLows = Seq(full1Low, full2Low)
+    val fullHighs = Seq(full1High, full2High)
+    val fullWallLow = fullLows.map(_.wall).min
+    val fullWallHigh = fullHighs.map(_.wall).min
+    val fullEff = ((nFull / fullWallHigh) / (nFull / fullWallLow)) /
+      (coresHigh.toDouble / coresLow)
 
     // per-stage walls: one instrumented run at full parallelism (extra
     // checkpoints make the sum ≥ the headline wall — attribution only)
@@ -203,7 +240,9 @@ object Bench {
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
 
     val total = wallLow + wallHigh + qtimes.map(_._2).sum
-    def f(d: Double) = "%.3f".format(d)
+    // Locale.ROOT: the artifact is JSON — a comma-decimal default locale
+    // would emit 1,23 and break every downstream parser (ADVICE r4)
+    def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = qtimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val cs = ctimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     def arr(xs: Double*) = xs.map(f).mkString("[", ",", "]")
@@ -226,6 +265,13 @@ object Bench {
         s""""stage_walls_high_sec":$sw,""" +
         s""""stage_profile_total_sec":${f(profWall)},""" +
         s""""stage_profile_steal_sec":${f(profSteal)}}"""
+    val kgFull =
+      s""""kg_full":{"pages":$pages,"resolved_triples":$nFull,""" +
+        s""""wall_low_sec":${f(fullWallLow)},"wall_high_sec":${f(fullWallHigh)},""" +
+        s""""triples_per_sec_high":${f(nFull / fullWallHigh)},""" +
+        s""""scaling_efficiency":${f(fullEff)},""" +
+        s""""samples_low_detail":${details(fullLows)},""" +
+        s""""samples_high_detail":${details(fullHighs)}}"""
     val skewStages = skewRows.take(8).map(r =>
       s"""{"stage":${r.stageId},"tasks":${r.nTasks},"median_ms":${r.medianMs},""" +
         s""""max_ms":${r.maxMs},"ratio":${f(r.ratio)}}""").mkString("[", ",", "]")
@@ -237,7 +283,7 @@ object Bench {
         s""""stages":$skewStages}"""
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""curation_queries":$cs,$kg,$skew,""" +
+        s""""curation_queries":$cs,$kg,$kgFull,$skew,""" +
         s""""sf":"$sfDir","git_sha":"$gitSha","utc":"$utc"}"""
     // stdout line for humans AND a file for machines: sbt wraps stdout in
     // [info] noise, which left the driver's `parsed` field null in r1

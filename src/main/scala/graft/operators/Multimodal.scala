@@ -234,10 +234,14 @@ object Multimodal {
     * [[MultimodalCodecs.decodeBmp]] + color/luma features, wav →
     * [[MultimodalCodecs.decodeWav]] + rms/zcr/energy features, png/gif →
     * [[MultimodalCodecs.decodeImage]] (JDK ImageIO — lossless formats, so
-    * pixel recovery is bit-exact and the features oracle-gateable); all
-    * other formats (jpeg — decode is implementation-defined across JVMs;
-    * mp4 — no JVM codec; corrupt payloads) fall back to the hash stub with
-    * `decoded = false` so the fallback RATE is observable, never silent.
+    * pixel recovery is bit-exact and the features oracle-gateable), and
+    * (r5) jpeg → the same ImageIO decode at FEATURE grade: real pixels, but
+    * the inverse DCT's rounding is implementation-defined, so jpeg features
+    * can differ by a few LSB across JVMs — jpeg rows are real data for
+    * training-pipeline purposes yet stay OUT of the bit-exact hash oracles
+    * (the pinned q_media_* corpus contains none). Only mp4 (no JVM
+    * container codec) and corrupt payloads fall back to the hash stub with
+    * `decoded = false`, so the fallback RATE is observable, never silent.
     * Same mapPartitions batch shape as [[extractFeatures]].
     */
   def extractFeaturesDecoded(media: Dataset[MediaRow], dim: Int = 64): Dataset[DecodedFeatures] = {
@@ -249,7 +253,8 @@ object Multimodal {
         val real: Option[Array[Float]] = m.format match {
           case "bmp" => decodeBmp(m.payload).map(bmpFeatures(_, dim))
           case "wav" => decodeWav(m.payload).map(wavFeatures(_, dim))
-          case "png" | "gif" => decodeImage(m.payload).map(bmpFeatures(_, dim))
+          case "png" | "gif" | "jpeg" | "jpg" =>
+            decodeImage(m.payload).map(bmpFeatures(_, dim))
           case _ => None
         }
         DecodedFeatures(m.media_id, m.modality, m.format, m.payload.length.toLong,

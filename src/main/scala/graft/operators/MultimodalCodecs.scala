@@ -153,6 +153,40 @@ object MultimodalCodecs {
     */
   def encodeGif(img: BmpImage): Array[Byte] = encodeImageIo(img, "gif")
 
+  /** Encode as baseline JPEG (JDK ImageIO writer). LOSSY and — unlike
+    * png/gif — its DECODE is only feature-grade: the inverse DCT's rounding
+    * is implementation-defined, so recovered pixels can differ by ±1-2 LSB
+    * across JVM vendors/versions. Downstream features from jpeg payloads
+    * are therefore real but NOT bit-exact-oracle-gateable (r5; the pinned
+    * q_media_* digests intentionally contain no jpeg rows).
+    */
+  def encodeJpeg(img: BmpImage, quality: Float = 0.9f): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((img.rgb(i * 3) & 0xff) << 16) |
+        ((img.rgb(i * 3 + 1) & 0xff) << 8) | (img.rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   private def encodeImageIo(img: BmpImage, format: String): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(
       img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)

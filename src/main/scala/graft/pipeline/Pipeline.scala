@@ -71,6 +71,17 @@ object Pipeline {
       case None => Resolution.scaledParams(base, c.read("embeddings").count())
     }
 
+  /** A standing lsh_sigs index is trustworthy for incremental patching ONLY
+    * when its geometry sidecar exists (ADVICE r4): a sidecar-less index
+    * (pre-r4 catalog, or a crash between the lsh_sigs table commit and
+    * writeSidecar) has UNKNOWN (bands, bits) — signing the delta with
+    * re-derived params and unioning into it would mix geometries and
+    * silently corrupt candidate recall. Such an index is rebuilt from
+    * scratch via the bootstrap branch instead.
+    */
+  private def erIndexUsable(c: Catalog): Boolean =
+    c.exists("lsh_sigs") && c.readSidecar("lsh_sigs", "_graft_er_params").isDefined
+
   private def writeErParams(c: Catalog, p: Resolution.Params): Unit =
     c.writeSidecar("lsh_sigs", "_graft_er_params",
       Seq(p.bands.toString, p.bits.toString, p.seed.toString, p.dim.toString))
@@ -246,12 +257,44 @@ object Pipeline {
     }
   }
 
-  /** Louvain levels + summaries + membership/hierarchy tables — shared by
-    * [[run]] and [[runIncremental]] (graph algorithms are global recomputes
-    * in the reference too: every ECC pass re-runs Louvain over the full
-    * resolved graph, `graph_rag.py:573-598`).
+  /** Order-independent fingerprint of EVERY input the community stages
+    * derive from: the resolved edge set + canonical-entity set (Louvain's
+    * inputs) and the entity descriptions + resolves_to mapping (the
+    * summaries' inputs). Same overflow-safe decimal(38,0) xxhash64-sum the
+    * driver-contract digests use.
     */
-  private def buildCommunities(c: Catalog, spark: SparkSession): Long = {
+  private def communityInputsDigest(c: Catalog): String = {
+    import org.apache.spark.sql.functions._
+    def dig(df: org.apache.spark.sql.DataFrame): String = {
+      val canon = df.columns.map(n => coalesce(col(n).cast("string"), lit("\u0000NULL")))
+      df.select(xxhash64(canon.toIndexedSeq: _*).cast("decimal(38,0)").as("h"))
+        .agg(coalesce(sum(col("h")), lit(0).cast("decimal(38,0)")).cast("string"))
+        .collect()(0).getString(0)
+    }
+    val rt = dig(c.read("resolved_triples").select("subj", "pred", "obj").distinct())
+    val res = dig(c.read("resolves_to").select("entity_id", "canonical_id"))
+    val ent = dig(c.read("entities")
+      .select(col("entity_id"), to_json(col("descriptions")).as("d")))
+    s"$rt|$res|$ent"
+  }
+
+  /** Louvain levels + summaries + membership/hierarchy tables — shared by
+    * [[run]] and [[runIncremental]].
+    *
+    * Incremental audit (r4 VERDICT #6): an exact dirty-component-only
+    * Louvain is UNSOUND — the ΔQ forms depend on the global m and the
+    * per-community Σtot (`graphrag_louvain_communities.gsql:94-102`), so
+    * edges added anywhere shift move decisions everywhere; the reference
+    * itself re-runs Louvain globally every ECC pass (`graph_rag.py:573-598`).
+    * What IS sound: when no community input changed at all (re-submitted
+    * batch, or a delta that only touched non-KG tables), the standing
+    * tables are already exact — [[runIncremental]] proves that with
+    * [[communityInputsDigest]] and skips the stage in O(scan) instead of
+    * O(Louvain + summaries). The digest is written as a sidecar after every
+    * rebuild so the next pass can compare.
+    */
+  private def buildCommunities(c: Catalog, spark: SparkSession,
+      inputsDigest: Option[String] = None): Long = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
     val rt = c.read("resolved_triples")
@@ -275,6 +318,8 @@ object Pipeline {
     c.write("modularity",
       louv.modularities.zipWithIndex
         .map { case (q, i) => (i + 1, q) }.toDF("iteration", "modularity"))
+    c.writeSidecar("communities", "_graft_community_inputs",
+      Seq(inputsDigest.getOrElse(communityInputsDigest(c))))
     nComms
   }
 
@@ -416,14 +461,15 @@ object Pipeline {
       val p = erParamsFor(c, cfg.er)
       val changed = c.read("delta_entities").localCheckpoint(true)
       val embAll = c.read("embeddings")
-      if (changed.isEmpty && c.exists("lsh_sigs")) {
+      if (changed.isEmpty && erIndexUsable(c)) {
         // no-op delta: no entity row changed, so the standing sigs index and
         // pair table are already exact — skip the O(index) bucket-count
         // comparison entirely (a re-submitted batch costs nothing here)
         0L
-      } else if (!c.exists("lsh_sigs")) {
-        // bootstrap: the prior full run kept no blocking index — sign the
-        // corpus once, recompute pairs fully, persist the index for next time
+      } else if (!erIndexUsable(c)) {
+        // bootstrap: the prior full run kept no blocking index (or left one
+        // with no geometry sidecar — untrusted, see [[erIndexUsable]]) —
+        // sign the corpus once, recompute pairs fully, persist index+sidecar
         c.writeKeyedCounted("lsh_sigs", Resolution.signatures(embAll, p),
           Seq("entity_id", "band"), cfg.erBuckets)
         writeErParams(c, p)
@@ -499,8 +545,23 @@ object Pipeline {
           c.read("entity_types")).toDF())
     }
 
-    stage("incr_communities")(c => buildCommunities(c, spark))
-    stage("incr_community_embeddings")(c => buildCommunityEmbeddings(c, cfg))
+    // communities: global recompute like every reference ECC pass — UNLESS
+    // the input fingerprint proves nothing community-relevant changed (the
+    // exact-dirty-subset alternative is unsound; see [[buildCommunities]])
+    var communitiesSkipped = false
+    stage("incr_communities") { c =>
+      val digest = communityInputsDigest(c)
+      if (c.exists("communities") && c.exists("community_embeddings") &&
+          c.readSidecar("communities", "_graft_community_inputs")
+            .contains(Seq(digest))) {
+        communitiesSkipped = true
+        c.read("communities").count()
+      } else buildCommunities(c, spark, Some(digest))
+    }
+    stage("incr_community_embeddings") { c =>
+      if (communitiesSkipped) c.read("community_embeddings").count()
+      else buildCommunityEmbeddings(c, cfg)
+    }
 
     Result(cat, results.result())
   }

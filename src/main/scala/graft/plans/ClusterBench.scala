@@ -71,7 +71,8 @@ object ClusterBench {
       ((System.nanoTime() - t0) / 1e9, (stealTicks() - s0) / 100.0)
     }
     val wall = runs.map(_._1).min
-    def f(d: Double) = "%.3f".format(d)
+    // Locale.ROOT keeps the JSON artifact parseable on comma-decimal locales
+    def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(
       s"""{"master":"${sc.master}","executors":$execs,"total_cores":$cores,""" +
         s""""pages":$pages,"resolved_triples":$triples,"wall_sec":${f(wall)},""" +

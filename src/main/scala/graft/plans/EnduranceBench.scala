@@ -128,12 +128,14 @@ object EnduranceBench {
         s""""spill_mem_mb":${mb(a.memSpillB)},"spill_disk_mb":${mb(a.diskSpillB)},""" +
         s""""peak_task_mem_mb":${mb(a.maxPeakMemB)},"name":"${a.name.replace("\"", "'")}"}"""
     }.mkString("[", ",", "]")
+    // Locale.ROOT keeps the JSON artifact parseable on comma-decimal locales
+    def fmt(p: String, v: Double) = String.format(java.util.Locale.ROOT, p, Double.box(v))
     val wallsJson = stageWalls.map { case (k, v) =>
-      s""""$k":${"%.2f".format(v)}""" }.mkString("{", ",", "}")
+      s""""$k":${fmt("%.2f", v)}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"endurance","pages":$pages,"cores":$cores,""" +
-        s""""wall_sec":${"%.3f".format(wall)},"resolved_triples":$n,""" +
-        s""""triples_per_sec":${"%.1f".format(n / wall)},""" +
+        s""""wall_sec":${fmt("%.3f", wall)},"resolved_triples":$n,""" +
+        s""""triples_per_sec":${fmt("%.1f", n / wall)},""" +
         s""""mem_spill_mb":${mb(totalMemSpill)},"disk_spill_mb":${mb(totalDiskSpill)},""" +
         s""""rss_mb_end":$rssAfter,"stage_walls_sec":$wallsJson,"stages":$stagesJson,""" +
         s""""git_sha":"$sha","utc":"$utc"}"""

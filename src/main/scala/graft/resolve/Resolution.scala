@@ -114,6 +114,20 @@ object Resolution {
     val qb = math.pow(q1, bits)
     val bands = math.min(maxBands, math.max(p.bands,
       math.ceil(math.log(1.0 - r0) / math.log(1.0 - qb)).toInt))
+    // capped geometry = reduced recall vs what the derivation promises
+    // (bucket load grows past targetLoad once bits caps; recall drops once
+    // bands caps) — surface it like the maxBucket flood counter does
+    // (ADVICE r4: a silent cap is an unobservable recall regression)
+    val bitsWanted = math.max(p.bits, math.ceil(log2(nEntities / targetLoad)).toInt)
+    val bandsWanted = math.max(p.bands,
+      math.ceil(math.log(1.0 - r0) / math.log(1.0 - qb)).toInt)
+    if (bits < bitsWanted || bands < bandsWanted)
+      System.err.println(
+        s"[graft.er] scaledParams cap hit at nEntities=$nEntities: " +
+          s"bits=$bits (wanted $bitsWanted, cap $maxBits), " +
+          s"bands=$bands (wanted $bandsWanted, cap $maxBands) — blocking recall " +
+          "below the default geometry's; shard the persisted index " +
+          "(BENCH/BASELINE.md) past this regime")
     p.copy(bits = bits, bands = bands)
   }
 
@@ -216,7 +230,13 @@ object Resolution {
         // shuffle path's array-carrying exchange by orders of magnitude —
         // while the 256 MB default stays right for small executors
         val bcBytes = spark.conf.getOption("spark.graft.er.maxBroadcastBytes")
-          .map(_.toLong).getOrElse(p.maxBroadcastBytes)
+          .map { v =>
+            val n = v.trim.toLongOption.getOrElse(sys.error(
+              s"spark.graft.er.maxBroadcastBytes must be a long, got '$v'"))
+            require(n > 0, s"spark.graft.er.maxBroadcastBytes must be positive, got $n")
+            n
+          }
+          .getOrElse(p.maxBroadcastBytes)
         val maxRows = (bcBytes / (p.dim.toLong * 4L)).toInt
         val probe = embeddings.limit(maxRows + 1).as[(String, Array[Float])].collect()
         if (probe.length <= maxRows) {

@@ -106,6 +106,48 @@ class LouvainSpec extends AnyFunSuite {
     assert(local2 == dist2, "routes diverged on the random graph")
   }
 
+  test("driver-side hierarchy finish is identical to the distributed loop") {
+    // r5: Louvain.run switches the WHOLE remaining hierarchy driver-side
+    // once a level's linksTo fits localFinishEdges (default route on these
+    // graphs). Forcing localFinishEdges = 0 keeps every level distributed;
+    // both routes must agree level-for-level on membership, linksTo
+    // (weights bit-exact), communities AND modularities — covering the
+    // level-1 switch (default) and the mid-loop switch (small bound that
+    // admits level >= 2 only).
+    val rng = new scala.util.Random(7)
+    val rand = (0 until 500).map { _ =>
+      val a = rng.nextInt(150); val b = rng.nextInt(150)
+      (s"n$a", "R", s"n$b", "k")
+    }.filter(t => t._1 != t._3).distinct.toDF("subj", "pred", "obj", "chunk_id")
+    val ringOfCliques = {
+      val n = 6
+      (0 until n).flatMap { c =>
+        val ids = (0 until 3).map(i => s"c${c}n$i")
+        val inner = for { i <- 0 until 3; j <- (i + 1) until 3 }
+          yield (ids(i), "REL", ids(j), "k")
+        inner :+ ((ids(0), "RING", s"c${(c + 1) % n}n0", "k"))
+      }.toDF("subj", "pred", "obj", "chunk_id")
+    }
+    def snapshot(r: Louvain.Result) = (
+      r.levels.map(_.membership.as[(String, String)].collect().sorted.toSeq),
+      r.levels.map(_.linksTo.as[(String, String, Double)].collect().sorted.toSeq),
+      r.levels.map(_.communities.as[(String, Int)].collect().sorted.toSeq),
+      r.modularities)
+    for (triples <- Seq(cliquesTriples, ringOfCliques, rand)) {
+      val dist = snapshot(Louvain.run(triples, localFinishEdges = 0L))
+      val local = snapshot(Louvain.run(triples))
+      assert(local == dist, "level-1-switch route diverged from distributed")
+      // mid-loop switch: a bound below level-1's linksTo size but above a
+      // later level's keeps early levels distributed, then finishes locally
+      val lvl1Links = Louvain.run(triples, localFinishEdges = 0L)
+        .levels.head.linksTo.count()
+      if (lvl1Links > 1) {
+        val mid = snapshot(Louvain.run(triples, localFinishEdges = lvl1Links - 1))
+        assert(mid == dist, s"mid-switch route (bound ${lvl1Links - 1}) diverged")
+      }
+    }
+  }
+
   test("unattached communities are carried forward to higher levels") {
     // bridged cliques A,B (cross-community LINKS_TO at level 2) + a fully
     // separate clique C with NO external edge: C's level-1 community has no

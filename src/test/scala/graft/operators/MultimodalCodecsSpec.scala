@@ -136,6 +136,30 @@ class MultimodalCodecsSpec extends AnyFunSuite {
     assert(back.rgb.sameElements(img.rgb))
   }
 
+  test("jpeg: feature-grade decode — real pixels within IDCT tolerance, corrupt → stub") {
+    import spark.implicits._
+    val img = gradient(32, 24)
+    val payload = encodeJpeg(img, 0.95f)
+    val back = decodeImage(payload).get
+    assert(back.width == 32 && back.height == 24)
+    // feature-grade, not bit-exact: jpeg is lossy and IDCT rounding is
+    // implementation-defined (encodeJpeg scaladoc) — assert the channel
+    // means land NEAR the source's, never equality
+    val f = bmpFeatures(back, 16)
+    val f0 = bmpFeatures(img, 16)
+    for (c <- 0 until 3)
+      assert(math.abs(f(c) - f0(c)) < 8f, s"channel $c mean drifted: ${f(c)} vs ${f0(c)}")
+    // Dataset path: a jpeg row now decodes for real (decoded=true); a torn
+    // jpeg payload keeps the observable stub fallback
+    val rows = Seq(
+      Multimodal.MediaRow("m1", "image", payload, 32, 24, 0, 0L, "jpeg"),
+      Multimodal.MediaRow("m2", "image", payload.take(24), 32, 24, 0, 0L, "jpg"))
+    val out = Multimodal.extractFeaturesDecoded(rows.toDS(), dim = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out("m1").decoded)
+    assert(!out("m2").decoded)
+  }
+
   test("decodeImage rejects foreign, torn, and decompression-bomb payloads") {
     assert(decodeImage(Array[Byte](1, 2, 3)).isEmpty)
     assert(decodeImage("not an image at all".getBytes).isEmpty)

@@ -182,10 +182,24 @@ class PipelineSpec extends AnyFunSuite {
       "modularity").foreach(t => assertSame(t))
     assertSame("pages", Seq("url", "text", "lang"))
 
-    // re-running the same batch is a no-op at the dirty gate
+    // re-running the same batch is a no-op at the dirty gate — and (r5) the
+    // communities stage proves its inputs unchanged via the digest sidecar
+    // and SKIPS the rebuild: the standing parquet files must be untouched
+    // (an exact dirty-subset Louvain is unsound — ΔQ depends on global m —
+    // so skip-on-proof is the only correct incremental form)
+    def commFiles(): Map[String, Long] = {
+      val dir = new java.io.File(s"${baseCfg.outDir}/communities")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val commBefore = commFiles()
+    assert(incr.catalog.readSidecar("communities", "_graft_community_inputs").isDefined)
     val again = Pipeline.runIncremental(spark, baseCfg.copy(runId = "delta2"), newBatch)
     assert(again.stages.find(_.stage == "incr_pages").get.rows == 0L)
+    assert(commFiles() == commBefore,
+      "communities were rebuilt despite a bit-identical input fingerprint")
     assertSame("resolved_triples")
+    assertSame("communities")
 
     // the blocking index pins its geometry (r4 adaptive blocking): the
     // sidecar records (bands, bits, seed, dim) — at this sub-floor corpus
