@@ -46,13 +46,17 @@ python3 - "$LOW" "$HIGH" "$PAGES" <<'EOF'
 import json, sys, subprocess, datetime, pathlib
 low, high = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 thr_low, thr_high = low["triples_per_sec"], high["triples_per_sec"]
-eff = (thr_high / thr_low) / (high["total_cores"] / low["total_cores"])
+ratio = high["total_cores"] / low["total_cores"]
+eff = (thr_high / thr_low) / ratio
 sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                      capture_output=True, text=True).stdout.strip()
 utc = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
 out = {"metric": "cluster_scaling", "pages": int(sys.argv[3]),
        "low": low, "high": high, "scaling_efficiency": round(eff, 3),
        "git_sha": sha, "utc": utc}
+if "triples_per_sec_full" in low:  # r5: chain + community hierarchy
+    out["scaling_efficiency_full"] = round(
+        (high["triples_per_sec_full"] / low["triples_per_sec_full"]) / ratio, 3)
 line = json.dumps(out)
 print(line)
 p = pathlib.Path("BENCH/runs"); p.mkdir(parents=True, exist_ok=True)

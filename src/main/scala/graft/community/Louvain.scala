@@ -608,15 +608,32 @@ object Louvain {
     */
   def run(resolvedTriples: DataFrame, maxLevels: Int = 6, maxHop: Int = 10,
       allEntities: Option[DataFrame] = None,
-      localFinishEdges: Long = 2000000L): Result = {
+      localFinishEdges: Long = -1L): Result = {
     val spark = resolvedTriples.sparkSession
     import spark.implicits._
+    // bound resolution: explicit arg (specs force routes with it) > the
+    // `spark.graft.louvain.localFinishEdges` session conf (fat-driver
+    // deployments raise it — a 24 GB single-JVM driver comfortably holds an
+    // 8M-edge level, and the driver route beats the distributed hop loop by
+    // ~15× there: measured 201 s distributed vs seconds local on the 3.47M-
+    // row level-2 graph at 3M pages) > the 2M-edge default (safe for a
+    // modest spark-submit driver heap)
+    val bound =
+      if (localFinishEdges >= 0L) localFinishEdges
+      else spark.conf.getOption("spark.graft.louvain.localFinishEdges")
+        .map { v =>
+          val n = v.trim.toLongOption.getOrElse(sys.error(
+            s"spark.graft.louvain.localFinishEdges must be a long, got '$v'"))
+          require(n >= 0, s"spark.graft.louvain.localFinishEdges must be >= 0, got $n")
+          n
+        }
+        .getOrElse(2000000L)
     val (nodes0, edges0, m0) = initGraph(resolvedTriples)
     val entityEdges = edges0.select($"src", $"dst")
     val levels = Seq.newBuilder[Level]
     val mods = Seq.newBuilder[Double]
 
-    var labels = localMoving(nodes0, edges0, m0, maxHop, localFinishEdges)
+    var labels = localMoving(nodes0, edges0, m0, maxHop, bound)
     // entities that appear in no triple still get singleton communities
     // (init :171-176); callers pass the full canonical-entity id set
     for (all <- allEntities) {
@@ -656,7 +673,7 @@ object Louvain {
     var prevQ = 0.0
     // level-1 switch BEFORE paying the distributed level-1 modularity job —
     // the pair-count job subsumes it (modularityFromPc under identity)
-    collectIfFits(lvl.linksTo, localFinishEdges) match {
+    collectIfFits(lvl.linksTo, bound) match {
       case Some(arr) =>
         finishLocally(arr, None, 2)
         finished = true
@@ -672,7 +689,7 @@ object Louvain {
       val (n, e, m) = levelGraph(allLevels.last.linksTo)
       if (m <= 1e-11) { stop = true }
       else {
-        val lbl = localMoving(n, e, m, maxHop, localFinishEdges)
+        val lbl = localMoving(n, e, m, maxHop, bound)
         // carry forward unattached communities: a community with NO
         // cross-community LINKS_TO edge is absent from this level's node set
         // and would vanish from the hierarchy (breaking HAS_PARENT descent
@@ -705,7 +722,7 @@ object Louvain {
         // the coarsened graph shrinks geometrically — switch to the
         // driver-side finish the first level it fits
         if (!stop)
-          collectIfFits(next.linksTo, localFinishEdges) match {
+          collectIfFits(next.linksTo, bound) match {
             case Some(arr) =>
               finishLocally(arr, Some(prevQ), it)
               finished = true

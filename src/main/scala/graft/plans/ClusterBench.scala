@@ -60,25 +60,38 @@ object ClusterBench {
     // warmup (JIT + codegen caches): with N separate executor JVMs each one
     // must JIT the whole chain independently — a toy warmup leaves the first
     // measured sample 3-8x slow. One-tenth of the real corpus exercises the
-    // same codegen + AQE paths at material task sizes.
-    SparkEntry.KgStages(spark, cfg.copy(nPages = math.max(2000, pages / 10)))
-      .resolvedTriples.count()
+    // same codegen + AQE paths at material task sizes (louvain forced too —
+    // the full-pipeline wall below measures it).
+    val warm = SparkEntry.KgStages(spark, cfg.copy(nPages = math.max(2000, pages / 10)))
+    warm.resolvedTriples.count()
+    warm.louvain.levels.foreach(_.membership.count())
 
+    // each sample times the chain AND the full pipeline (chain + community
+    // hierarchy, the r5 headline definition) in one pass — the communities
+    // increment is the wall delta on the same stage graph
     var triples = 0L
     val runs = (1 to samples).map { _ =>
       val s0 = stealTicks(); val t0 = System.nanoTime()
-      triples = SparkEntry.KgStages(spark, cfg).resolvedTriples.count()
-      ((System.nanoTime() - t0) / 1e9, (stealTicks() - s0) / 100.0)
+      val st = SparkEntry.KgStages(spark, cfg)
+      triples = st.resolvedTriples.count()
+      val tChain = (System.nanoTime() - t0) / 1e9
+      st.louvain.levels.foreach(_.membership.count())
+      val tFull = (System.nanoTime() - t0) / 1e9
+      (tChain, tFull, (stealTicks() - s0) / 100.0)
     }
     val wall = runs.map(_._1).min
+    val wallFull = runs.map(_._2).min
     // Locale.ROOT keeps the JSON artifact parseable on comma-decimal locales
     def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(
       s"""{"master":"${sc.master}","executors":$execs,"total_cores":$cores,""" +
         s""""pages":$pages,"resolved_triples":$triples,"wall_sec":${f(wall)},""" +
         s""""triples_per_sec":${f(triples / wall)},""" +
+        s""""wall_full_sec":${f(wallFull)},""" +
+        s""""triples_per_sec_full":${f(triples / wallFull)},""" +
         s""""samples_sec":${runs.map(r => f(r._1)).mkString("[", ",", "]")},""" +
-        s""""steal_sec":${runs.map(r => f(r._2)).mkString("[", ",", "]")}}""")
+        s""""samples_full_sec":${runs.map(r => f(r._2)).mkString("[", ",", "]")},""" +
+        s""""steal_sec":${runs.map(r => f(r._3)).mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

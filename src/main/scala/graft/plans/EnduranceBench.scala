@@ -80,6 +80,13 @@ object EnduranceBench {
       // multi-GB bound is safe here and map-side scoring avoids the shuffle
       // path's array-carrying exchange (Resolution.candidatePairs docs)
       .config("spark.graft.er.maxBroadcastBytes", (4L << 30).toString)
+      // same fat-driver rationale for the Louvain local-finish bound: this
+      // JVM has a 24 GB heap, so mid-size hierarchy levels (3-8M edges; the
+      // 3.47M-row level-2 graph at 3M pages measured 201 s in the
+      // distributed hop loop vs seconds driver-side) take the spec-asserted
+      // bit-equal local route; the 2M default stays right for small
+      // spark-submit drivers
+      .config("spark.graft.louvain.localFinishEdges", "8000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

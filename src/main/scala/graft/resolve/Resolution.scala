@@ -238,15 +238,50 @@ object Resolution {
           }
           .getOrElse(p.maxBroadcastBytes)
         val maxRows = (bcBytes / (p.dim.toLong * 4L)).toInt
-        val probe = embeddings.limit(maxRows + 1).as[(String, Array[Float])].collect()
+        // r5: the probe ships SPARSE (nnz index/value pairs when that's the
+        // smaller encoding, dense otherwise) with the squared norm hoisted
+        // per entity — the deterministic HashEmbedder runs nnz ≈ 13 of
+        // 1536, so the collect + broadcast shrink ~50-100× and per-pair
+        // scoring drops the two norm loops. This is serial driver work on
+        // the chain's critical path (the Amdahl F term in the scaling
+        // ladder). maxRows keeps the DENSE byte accounting so the
+        // map-side/shuffle switch point — and every plan at every scale —
+        // is unchanged. Bit-equality with the dense loop: see [[cosProbe]].
+        // ORDER MATTERS: limit must come AFTER the sparsifying map so the
+        // plan stays a terminal CollectLimitExec over a parallel narrow map
+        // — limit-before-map plans a GlobalLimit single-partition shuffle
+        // that funnels the whole DENSE table through one task (measured
+        // +38% on the 4×4-executor chain wall before this ordering).
+        val probe = embeddings.as[(String, Array[Float])]
+          .mapPartitions(_.map { case (id, v) =>
+            var nnz = 0
+            var i = 0
+            while (i < v.length) { if (v(i) != 0f) nnz += 1; i += 1 }
+            if (nnz.toLong * 2 <= v.length) {
+              val idx = new Array[Int](nnz)
+              val vals = new Array[Float](nnz)
+              var j = 0
+              i = 0
+              while (i < v.length) {
+                if (v(i) != 0f) { idx(j) = i; vals(j) = v(i); j += 1 }
+                i += 1
+              }
+              (id, v.length, idx, vals)
+            } else (id, v.length, null: Array[Int], v)
+          })
+          .limit(maxRows + 1)
+          .collect()
         if (probe.length <= maxRows) {
-          val vecMap = spark.sparkContext.broadcast(probe.toMap)
+          val vecMap = spark.sparkContext.broadcast(
+            probe.iterator.map { case (id, len, idx, vals) =>
+              id -> mkProbeVec(len, idx, vals)
+            }.toMap)
           val thr = p.cosineThreshold - 1e-6
           return raw.as[(String, String)]
             .mapPartitions { it =>
               val m = vecMap.value
               it.flatMap { case (a, b) =>
-                val cos = cosRawOrdered(m(a), m(b))
+                val cos = cosProbe(m(a), m(b))
                 if (cos >= thr) Iterator.single((a, b, cos)) else Iterator.empty
               }
             }
@@ -301,6 +336,66 @@ object Resolution {
       d += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Broadcast scoring-map entry: one of (idx, vals) sparse or `dense` set,
+    * plus the squared norm. All entity embeddings share length p.dim (the
+    * precomputed norm is only valid under that invariant — cosRawOrdered
+    * norms over min(len) when lengths differ).
+    */
+  private final case class ProbeVec(len: Int, norm2: Double,
+      idx: Array[Int], vals: Array[Float], dense: Array[Float])
+
+  private def mkProbeVec(len: Int, idx: Array[Int], vals: Array[Float]): ProbeVec = {
+    // Σx² over the shipped values in index order — for a sparse row that
+    // skips only exact-zero addends of the dense accumulation, so the value
+    // is bit-equal to cosRawOrdered's na (a +0.0 addend is an IEEE identity
+    // on a non-negative accumulator)
+    var n2 = 0.0
+    var i = 0
+    while (i < vals.length) { val x = vals(i).toDouble; n2 += x * x; i += 1 }
+    if (idx == null) ProbeVec(len, n2, null, null, vals)
+    else ProbeVec(len, n2, idx, vals, null)
+  }
+
+  /** Cosine over [[ProbeVec]]s, bit-equal to [[cosRawOrdered]] on the
+    * original dense arrays: each of the three accumulators of the dense
+    * loop is an INDEPENDENT index-order sum, so (a) hoisting the norms out
+    * of the pair loop and (b) skipping the ±0.0 dot addends where either
+    * coordinate is zero both leave the exact IEEE values unchanged (a
+    * running sum can only sit at -0.0 while every prior addend was -0.0,
+    * and the first real addend produces the same result either way); the
+    * final `d / (√na·√nb)` expression is identical.
+    */
+  private def cosProbe(a: ProbeVec, b: ProbeVec): Double = {
+    val n = math.min(a.len, b.len)
+    var d = 0.0
+    if (a.dense == null && b.dense == null) {
+      var i = 0; var j = 0
+      while (i < a.idx.length && j < b.idx.length) {
+        val ai = a.idx(i); val bj = b.idx(j)
+        if (ai < bj) i += 1
+        else if (bj < ai) j += 1
+        else {
+          if (ai < n) d += a.vals(i).toDouble * b.vals(j).toDouble
+          i += 1; j += 1
+        }
+      }
+    } else if (a.dense != null && b.dense != null) {
+      var i = 0
+      while (i < n) { d += a.dense(i).toDouble * b.dense(i).toDouble; i += 1 }
+    } else {
+      val sp = if (a.dense == null) a else b
+      val de = if (a.dense == null) b else a
+      var i = 0
+      while (i < sp.idx.length) {
+        val ix = sp.idx(i)
+        if (ix < n) d += sp.vals(i).toDouble * de.dense(ix).toDouble
+        i += 1
+      }
+    }
+    if (a.norm2 == 0 || b.norm2 == 0) 0.0
+    else d / (math.sqrt(a.norm2) * math.sqrt(b.norm2))
   }
 
   /** Sign-RP band signatures of an embeddings frame — the SAME hyperplanes
